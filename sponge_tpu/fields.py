@@ -1,0 +1,169 @@
+"""Prime-field specifications and host-side big-integer <-> limb-plane codecs.
+
+This is the TPU-native replacement for the role `ark-ff`'s ``MontBackend`` plays
+underneath the reference sponge (see ``/root/reference/src/test.rs:5-11`` where the
+test field is declared, and SURVEY.md section 2.2).  The reference stores a field
+element as 4 x 64-bit Montgomery limbs and runs scalar CPU arithmetic; here a field
+element *batch* is stored as a structure-of-arrays plane of ``NLIMBS`` x ``LIMB_BITS``-bit
+limbs in ``int32`` (shape ``(..., NLIMBS, B)``: limb axis on TPU sublanes, batch axis on
+lanes), in Montgomery form with ``R = 2**(LIMB_BITS * NLIMBS)``.
+
+Why 12-bit limbs: with limbs bounded by ``2**12`` (a *redundant*, not strictly
+canonical bound), every schoolbook partial product is ``<= 2**24`` and every column sum
+across ``2*NLIMBS`` terms plus the Montgomery-reduction additions stays ``< 2**31``, so
+the whole multiply runs in plain ``int32`` VPU ops with **no** hi/lo product splitting
+and only three data-independent carry passes at the end.  This is what makes the hot
+loop map cleanly onto the TPU vector unit.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+
+import numpy as np
+
+LIMB_BITS = 12
+LIMB_MASK = (1 << LIMB_BITS) - 1
+
+
+@dataclass(frozen=True)
+class FieldSpec:
+    """Static description of a prime field in the limb-plane representation.
+
+    Mirrors the capability of ark-ff's compile-time field configs
+    (``/root/reference/src/test.rs:5-11``); all members are Python ints / tuples so
+    the spec is hashable and can be closed over by jitted functions as a static.
+    """
+
+    name: str
+    modulus: int
+    generator: int
+    limb_bits: int = LIMB_BITS
+    nlimbs: int = field(init=False)
+
+    def __post_init__(self):
+        nlimbs = -(-max(self.modulus.bit_length() + 1, 256) // self.limb_bits)
+        object.__setattr__(self, "nlimbs", nlimbs)
+
+    # ---- derived Montgomery constants (python ints, computed once) ----
+
+    @property
+    def modulus_bit_size(self) -> int:
+        """Same as ark-ff ``MODULUS_BIT_SIZE`` (bits of the modulus)."""
+        return self.modulus.bit_length()
+
+    @property
+    def r(self) -> int:
+        """Montgomery radix R = 2^(limb_bits * nlimbs)."""
+        return 1 << (self.limb_bits * self.nlimbs)
+
+    @property
+    def r_mod_p(self) -> int:
+        return self.r % self.modulus
+
+    @property
+    def r2_mod_p(self) -> int:
+        return (self.r * self.r) % self.modulus
+
+    @property
+    def n0inv(self) -> int:
+        """-p^{-1} mod 2^limb_bits (per-limb Montgomery factor)."""
+        base = 1 << self.limb_bits
+        return (-pow(self.modulus, -1, base)) % base
+
+    # ---- host-side codecs (numpy; not on the hot path) ----
+
+    def int_to_limbs(self, x: int) -> np.ndarray:
+        """Canonical integer -> (nlimbs,) int32 limb vector (little-endian limbs)."""
+        if not 0 <= x < self.r:
+            raise ValueError(f"value out of range for limb encoding: {x}")
+        out = np.empty(self.nlimbs, dtype=np.int32)
+        for i in range(self.nlimbs):
+            out[i] = x & LIMB_MASK
+            x >>= self.limb_bits
+        return out
+
+    def limbs_to_int(self, limbs: np.ndarray) -> int:
+        """(nlimbs,) limb vector (possibly redundant) -> integer."""
+        acc = 0
+        for i in reversed(range(self.nlimbs)):
+            acc = (acc << self.limb_bits) + int(limbs[i])
+        return acc
+
+    def int_to_mont_limbs(self, x: int) -> np.ndarray:
+        """Canonical integer mod p -> Montgomery-form limb vector."""
+        return self.int_to_limbs((x % self.modulus) * self.r_mod_p % self.modulus)
+
+    def mont_limbs_to_int(self, limbs: np.ndarray) -> int:
+        """Montgomery-form limb vector -> canonical integer mod p."""
+        r_inv = pow(self.r, -1, self.modulus)
+        return self.limbs_to_int(limbs) * r_inv % self.modulus
+
+    # ---- batch host codecs: (B,) python ints <-> (nlimbs, B) planes ----
+
+    def ints_to_mont_plane(self, xs) -> np.ndarray:
+        """Sequence of ints -> (nlimbs, B) int32 Montgomery limb plane."""
+        cols = [self.int_to_mont_limbs(int(x)) for x in xs]
+        return np.stack(cols, axis=-1).astype(np.int32)
+
+    def mont_plane_to_ints(self, plane: np.ndarray) -> list:
+        """(nlimbs, B) Montgomery limb plane -> list of canonical ints."""
+        plane = np.asarray(plane)
+        return [self.mont_limbs_to_int(plane[:, b]) for b in range(plane.shape[-1])]
+
+    # ---- byte/bit codecs matching ark-ff semantics ----
+
+    @property
+    def num_canonical_bytes(self) -> int:
+        """Bytes of a canonical serialization (ark-serialize compressed Fp width)."""
+        return (self.modulus_bit_size + 7) // 8
+
+    def to_bytes_le(self, x: int) -> bytes:
+        """Canonical LE bytes, same width as ark-ff ``into_bigint().to_bytes_le()``.
+
+        ark-ff emits ``8 * NUM_LIMBS`` bytes for its 64-bit limb bigint; for the
+        255-bit fields here that is 32 bytes (cf. squeeze_bytes usage at
+        /root/reference/src/poseidon/mod.rs:264).
+        """
+        nbytes = 8 * ((self.modulus_bit_size + 63) // 64)
+        return int(x % self.modulus).to_bytes(nbytes, "little")
+
+    def from_le_bytes_mod_order(self, data: bytes) -> int:
+        """ark-ff ``from_le_bytes_mod_order`` (/root/reference/src/lib.rs:96)."""
+        return int.from_bytes(data, "little") % self.modulus
+
+
+# The two fields the framework ships with (SURVEY.md north star: BLS12-381 Fr and
+# BN254 Fr).  Modulus for the first matches /root/reference/src/test.rs:6.
+BLS12_381_FR = FieldSpec(
+    name="bls12_381_fr",
+    modulus=52435875175126190479447740508185965837690552500527637822603658699938581184513,
+    generator=7,
+)
+
+BN254_FR = FieldSpec(
+    name="bn254_fr",
+    modulus=21888242871839275222246405745257275088548364400416034343698204186575808495617,
+    generator=5,
+)
+
+_FIELDS = {f.name: f for f in (BLS12_381_FR, BN254_FR)}
+
+
+def get_field(name: str) -> FieldSpec:
+    return _FIELDS[name]
+
+
+@functools.lru_cache(maxsize=None)
+def _mod_bounds_ok(fs: FieldSpec) -> bool:
+    """Static proof obligations for the int32 no-overflow design (see module doc)."""
+    L = fs.nlimbs
+    prod = (1 << fs.limb_bits) ** 2           # one partial product, inputs <= 2^12
+    col = L * prod                            # schoolbook column sum
+    redc = col + (L - 1) * prod               # + Montgomery reduction additions
+    return redc < 2 ** 31
+
+
+for _f in _FIELDS.values():
+    assert _mod_bounds_ok(_f), f"limb parameters overflow int32 for {_f.name}"

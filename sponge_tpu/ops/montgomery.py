@@ -1,0 +1,252 @@
+"""Batched Montgomery field arithmetic over int32 limb planes (pure JAX tier).
+
+TPU-native replacement for the scalar Montgomery arithmetic the reference sponge
+inherits from ark-ff (field mul/add/pow call sites at
+/root/reference/src/poseidon/mod.rs:63-93).  Everything here is element-wise int32
+VPU work over arrays of shape ``(..., L, B)``:
+
+* limb axis (``L = fs.nlimbs``, 12-bit limbs) sits on TPU sublanes,
+* batch axis ``B`` sits on lanes, so one instruction advances 128+ sponges at once.
+
+Design invariant (proved statically in ``fields._mod_bounds_ok``): all limbs are kept
+``<= 2**12`` (redundant form), so schoolbook partial products are ``<= 2**24`` and all
+column accumulations incl. Montgomery reduction stay ``< 2**31`` — plain int32, no
+hi/lo splitting, wrap-around free.  Values are only canonicalized (unique repr < p)
+at API output boundaries.
+
+These functions are also the *semantic reference* for the fused Pallas permutation
+kernel in ``sponge_tpu.ops.pallas_permute``.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..fields import LIMB_BITS, LIMB_MASK, FieldSpec
+
+
+def _const_col(fs: FieldSpec, value: int) -> np.ndarray:
+    """(L, 1) int32 broadcastable constant column for ``value`` (plain limbs)."""
+    return fs.int_to_limbs(value)[:, None].astype(np.int32)
+
+
+@functools.lru_cache(maxsize=None)
+def field_consts(fs: FieldSpec):
+    """Cached numpy constants used by the kernels: (p_limbs, r2_mont, one_plain)."""
+    nprime = (-pow(fs.modulus, -1, fs.r)) % fs.r  # -p^{-1} mod R (full width)
+    return {
+        "p": _const_col(fs, fs.modulus),
+        "r2": _const_col(fs, fs.r2_mod_p),
+        "one": _const_col(fs, 1),
+        "nprime": _const_col(fs, nprime),
+        "n0inv": np.int32(fs.n0inv),  # per-limb variant, used by the Pallas tier
+    }
+
+
+def carry_pass(x: jnp.ndarray) -> jnp.ndarray:
+    """One vectorized carry-propagation pass along the limb axis (-2).
+
+    The carry popped off the top limb is dropped; callers must guarantee by bound
+    analysis that the total value fits in L limbs (true everywhere below because
+    Montgomery outputs are < p + 1 < 2^256 << 2^(12*22)).
+    """
+    c = x >> LIMB_BITS
+    x = x & LIMB_MASK
+    c = jnp.concatenate([jnp.zeros_like(c[..., :1, :]), c[..., :-1, :]], axis=-2)
+    return x + c
+
+
+def normalize(x: jnp.ndarray, passes: int) -> jnp.ndarray:
+    """Apply ``passes`` carry passes; the needed count comes from bound analysis.
+
+    After a Montgomery multiply limbs are < 2^29.2: three passes restore the
+    ``<= 2**12`` redundant invariant exactly (each pass divides the residual carry
+    by 2^12: 2^17.2 -> 2^5.2 -> 1 -> 0).
+    """
+    for _ in range(passes):
+        x = carry_pass(x)
+    return x
+
+
+def _pad_limbs(x: jnp.ndarray, before: int, after: int) -> jnp.ndarray:
+    """Zero-pad along the limb axis (-2) with static amounts (compiles to concat)."""
+    pad = [(0, 0)] * (x.ndim - 2) + [(before, after), (0, 0)]
+    return jnp.pad(x, pad)
+
+
+def _school_full(L: int, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Full schoolbook product into 2L redundant columns: t[k] = sum_{i+j=k} a_i b_j.
+
+    Expressed as L statically-padded shifted rank-1 updates summed in one tree —
+    no dynamic-update-slices, so XLA traces/fuses it cheaply.  Columns < 2^29 for
+    limbs <= 2^12.
+    """
+    terms = [
+        _pad_limbs(a * b[..., j : j + 1, :], j, L - j) for j in range(L)
+    ]
+    return jnp.sum(jnp.stack(terms, axis=0), axis=0)
+
+
+def _school_low(L: int, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Low half of the schoolbook product (columns 0..L-1 only)."""
+    terms = [
+        _pad_limbs(a[..., : L - j, :] * b[..., j : j + 1, :], j, 0) for j in range(L)
+    ]
+    return jnp.sum(jnp.stack(terms, axis=0), axis=0)
+
+
+def mont_mul(fs: FieldSpec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Batched Montgomery product ``a * b * R^{-1}`` over (..., L, B) limb planes.
+
+    Non-interleaved REDC, chosen for the XLA tier because every step is a fully
+    parallel schoolbook product (static pads + tree sums — tiny traced graph, no
+    sequential dynamic-slice chains):
+
+        T  = a * b                          (2L redundant columns)
+        m  = (T mod R) * N' mod R           (N' = -p^{-1} mod R, precomputed limbs)
+        S  = T + m * p                      (divisible by R by construction)
+        r  = S / R                          (high half + exact low-half carry)
+
+    The only sequential piece is the L-step scalar carry chain computing the exact
+    carry of S's low half into limb L.  Inputs: redundant limbs <= 2^12; output:
+    same invariant, value < 2p (the redundant-m excess adds < p/4096).
+    The Pallas tier uses the tighter interleaved CIOS form instead.
+    """
+    L = fs.nlimbs
+    consts = field_consts(fs)
+    p = jnp.asarray(consts["p"])            # (L, 1) canonical limbs
+    nprime = jnp.asarray(consts["nprime"])  # (L, 1) canonical limbs of -p^{-1} mod R
+
+    # T = a*b, normalized back to <= 2^12 limbs (3 passes: 2^17 -> 2^5 -> 1 -> 0).
+    # Top-limb carries cannot occur: value < p^2 < 2^510 < 2^(12*2L).
+    t = normalize(_school_full(L, a, b), passes=3)
+    t_lo, t_hi = t[..., :L, :], t[..., L:, :]
+
+    # m ≡ T * N' (mod R): low-half product, carries above limb L-1 intentionally
+    # dropped (that *is* the mod R), renormalized for the next product.
+    m = normalize(_school_low(L, t_lo, nprime), passes=3)
+
+    # S = T + m*p.  S ≡ 0 (mod R), so the exact low-half carry chain terminates
+    # with S_lo / R, which is added at limb position L.
+    mp = _school_full(L, m, p)
+    s_lo = t_lo + mp[..., :L, :]
+    s_hi = t_hi + mp[..., L:, :]
+
+    c = jnp.zeros_like(s_lo[..., 0, :])
+    for k in range(L):
+        c = (s_lo[..., k, :] + c) >> LIMB_BITS
+    r = s_hi.at[..., 0, :].add(c)
+    return normalize(r, passes=3)
+
+
+def mont_add(fs: FieldSpec, *xs: jnp.ndarray) -> jnp.ndarray:
+    """Field addition of up to ~64 operands without modular reduction.
+
+    Reduction is deferred: values remain correct mod p and limbs return to the
+    <= 2^12 redundant invariant after two carry passes (sums of k <= 64 limbs are
+    < 2^18, one pass leaves < 2^12 + 2^6, second pass < 2^12 + 1).
+    Matches the additive absorb/ARK semantics of the reference
+    (/root/reference/src/poseidon/mod.rs:76-80,128).
+    """
+    assert len(xs) >= 2 and len(xs) <= 64
+    acc = xs[0]
+    for x in xs[1:]:
+        acc = acc + x
+    return normalize(acc, passes=2)
+
+
+def mont_pow(fs: FieldSpec, x: jnp.ndarray, alpha: int) -> jnp.ndarray:
+    """x^alpha via MSB-first square-and-multiply (static chain, unrolled at trace).
+
+    For the reference S-box exponents this costs: alpha=5 -> 2 sq + 1 mul,
+    alpha=17 -> 4 sq + 1 mul, alpha=257 -> 8 sq + 1 mul
+    (cf. /root/reference/src/poseidon/mod.rs:63-74).
+    """
+    assert alpha >= 1
+    bits = bin(alpha)[2:]
+    acc = x
+    for bit in bits[1:]:
+        acc = mont_mul(fs, acc, acc)
+        if bit == "1":
+            acc = mont_mul(fs, acc, x)
+    return acc
+
+
+def to_mont(fs: FieldSpec, x_plain: jnp.ndarray) -> jnp.ndarray:
+    """Plain (canonical-integer) limbs -> Montgomery form, on device."""
+    r2 = jnp.asarray(field_consts(fs)["r2"])
+    # r2 is stored as plain limbs of R^2 mod p; mont_mul(x, R^2) = x*R.
+    return mont_mul(fs, x_plain, r2)
+
+
+def from_mont(fs: FieldSpec, x_mont: jnp.ndarray) -> jnp.ndarray:
+    """Montgomery form -> canonical plain limbs (unique representative < p)."""
+    one = jnp.asarray(field_consts(fs)["one"])
+    r = mont_mul(fs, x_mont, one)          # value < 2p, limbs <= 2^12
+    return canonicalize(fs, r)
+
+
+def canonicalize(fs: FieldSpec, x: jnp.ndarray) -> jnp.ndarray:
+    """Exact sequential carry + single conditional subtract of p.
+
+    Only used at output boundaries (squeeze); the hot loop never calls this.
+    Requires the input value to be < 2p (true for ``from_mont`` results).
+    """
+    L = fs.nlimbs
+    p = jnp.asarray(field_consts(fs)["p"])
+
+    # Exact carry chain -> unique limb decomposition of the (possibly = p) value.
+    c = jnp.zeros_like(x[..., 0, :])
+    outs = []
+    for k in range(L):
+        v = x[..., k, :] + c
+        outs.append(v & LIMB_MASK)
+        c = v >> LIMB_BITS
+    y = jnp.stack(outs, axis=-2)
+
+    # Conditional subtraction: z = y - p with a sequential borrow chain.
+    borrow = jnp.zeros_like(c)
+    zs = []
+    for k in range(L):
+        d = y[..., k, :] - p[k, 0] - borrow
+        zs.append(d & LIMB_MASK)
+        borrow = (d >> LIMB_BITS) & 1      # 1 iff d was negative (arith shift)
+    z = jnp.stack(zs, axis=-2)
+    ge_p = (borrow == 0)[..., None, :]     # no final borrow <=> y >= p
+    return jnp.where(ge_p, z, y)
+
+
+# ----------------------------------------------------------------------------------
+# Slow-but-obviously-correct oracle tier (python ints; test-only, never on device).
+# ----------------------------------------------------------------------------------
+
+
+class OracleField:
+    """Python-int field arithmetic: the test oracle for every kernel above.
+
+    Mirrors ark-ff semantics exactly (mod-p canonical values); used by the oracle
+    sponge in ``sponge_tpu.poseidon.oracle`` and by kernel equivalence tests.
+    """
+
+    def __init__(self, fs: FieldSpec):
+        self.fs = fs
+        self.p = fs.modulus
+
+    def add(self, a: int, b: int) -> int:
+        return (a + b) % self.p
+
+    def mul(self, a: int, b: int) -> int:
+        return (a * b) % self.p
+
+    def pow(self, a: int, e: int) -> int:
+        return pow(a, e, self.p)
+
+    def inv(self, a: int) -> int:
+        return pow(a, -1, self.p)
+
+    def neg(self, a: int) -> int:
+        return (-a) % self.p

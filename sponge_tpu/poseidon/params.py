@@ -1,0 +1,208 @@
+"""Deterministic Poseidon parameter generation (Grain LFSR + Cauchy MDS).
+
+Host-side, run-once machinery — the TPU equivalent of
+/root/reference/src/poseidon/grain_lfsr.rs and
+/root/reference/src/poseidon/traits.rs.  Behavior is bit-exact with the reference:
+the golden vectors from ``grain_lfsr.rs:197-213`` and ``traits.rs:163-358`` are
+checked in ``tests/test_params.py``.
+"""
+
+from __future__ import annotations
+
+import functools
+
+from ..fields import FieldSpec
+from .config import PoseidonConfig
+
+
+class PoseidonGrainLFSR:
+    """80-bit Grain LFSR seeded from the field/sponge descriptor.
+
+    Seed layout and update taps follow /root/reference/src/poseidon/grain_lfsr.rs:
+    b0-b1 field type, b2-b5 sbox kind, b6-17 prime bits, b18-29 state width t,
+    b30-39 R_F, b40-49 R_P, b50-79 ones (``:15-84``); taps {62,51,38,23,13,0}
+    (``:163-168``); 160 warm-up clocks (``:176-188``); the output filter discards
+    bit-pairs until the first bit of a pair is 1 and emits the second
+    (``:86-106``).
+    """
+
+    # Tap positions relative to the head: {62, 51, 38, 23, 13, 0}
+    # (grain_lfsr.rs:163-168), encoded as a mask over the shifting 80-bit window.
+    _TAP_MASK = (1 << 62) | (1 << 51) | (1 << 38) | (1 << 23) | (1 << 13) | 1
+
+    def __init__(
+        self,
+        is_sbox_an_inverse: bool,
+        prime_num_bits: int,
+        state_len: int,
+        num_full_rounds: int,
+        num_partial_rounds: int,
+    ):
+        self.prime_num_bits = prime_num_bits
+        bits = [False] * 80  # bits[i] == reference state[(head + i) % 80]
+
+        bits[1] = True
+        bits[5] = bool(is_sbox_an_inverse)
+
+        def fill(lo: int, hi: int, value: int):
+            cur = value
+            for i in range(hi, lo - 1, -1):
+                bits[i] = (cur & 1) == 1
+                cur >>= 1
+
+        fill(6, 17, prime_num_bits)
+        fill(18, 29, state_len)
+        fill(30, 39, num_full_rounds)
+        fill(40, 49, num_partial_rounds)
+        for i in range(50, 80):
+            bits[i] = True
+
+        # Pack into an int: bit i of ``window`` is the state bit at head-relative
+        # offset i.  The reference's write-at-head + advance-head is then exactly
+        # "shift right, insert new bit at offset 79".
+        self.window = sum(1 << i for i, b in enumerate(bits) if b)
+        for _ in range(160):
+            self._update()
+
+    def _update(self) -> int:
+        w = self.window
+        new_bit = (w & self._TAP_MASK).bit_count() & 1
+        self.window = (w >> 1) | (new_bit << 79)
+        return new_bit
+
+    def get_bits(self, num_bits: int) -> list:
+        res = []
+        update = self._update
+        for _ in range(num_bits):
+            new_bit = update()
+            while not new_bit:
+                update()  # discard the second bit of the pair
+                new_bit = update()
+            res.append(update())
+        return res
+
+    def _next_int_msb(self) -> int:
+        """prime_num_bits filtered bits, interpreted MSB-first (bits reversed to
+        little-endian before bigint construction in the reference,
+        grain_lfsr.rs:119-123 — equivalent to reading the stream MSB-first)."""
+        acc = 0
+        for bit in self.get_bits(self.prime_num_bits):
+            acc = (acc << 1) | int(bit)
+        return acc
+
+    def get_field_elements_rejection_sampling(self, fs: FieldSpec, num_elems: int):
+        """Per-element rejection sampling below p (grain_lfsr.rs:108-133)."""
+        assert fs.modulus_bit_size == self.prime_num_bits
+        res = []
+        for _ in range(num_elems):
+            while True:
+                candidate = self._next_int_msb()
+                if candidate < fs.modulus:
+                    res.append(candidate)
+                    break
+        return res
+
+    def get_field_elements_mod_p(self, fs: FieldSpec, num_elems: int):
+        """Draw n bits and reduce mod p (grain_lfsr.rs:135-159).
+
+        The reference chunks the MSB-first bit vector's *reversal* into LE bytes and
+        calls from_le_bytes_mod_order — numerically just ``value mod p``.
+        """
+        assert fs.modulus_bit_size == self.prime_num_bits
+        return [self._next_int_msb() % fs.modulus for _ in range(num_elems)]
+
+
+def find_poseidon_ark_and_mds(
+    fs: FieldSpec,
+    rate: int,
+    full_rounds: int,
+    partial_rounds: int,
+    skip_matrices: int,
+):
+    """ARK constants via rejection sampling + Cauchy MDS matrix.
+
+    Mirrors /root/reference/src/poseidon/traits.rs:105-146: one LFSR seeded with
+    (false, prime_bits, rate+1, R_F, R_P); (R_F+R_P) rows of (rate+1) rejection
+    samples; ``skip_matrices`` discarded draws of 2*(rate+1) mod-p elements; then
+    mds[i][j] = (x_i + y_j)^{-1}.
+    """
+    t = rate + 1
+    lfsr = PoseidonGrainLFSR(False, fs.modulus_bit_size, t, full_rounds, partial_rounds)
+
+    ark = tuple(
+        tuple(lfsr.get_field_elements_rejection_sampling(fs, t))
+        for _ in range(full_rounds + partial_rounds)
+    )
+
+    for _ in range(skip_matrices):
+        lfsr.get_field_elements_mod_p(fs, 2 * t)
+
+    xs = lfsr.get_field_elements_mod_p(fs, t)
+    ys = lfsr.get_field_elements_mod_p(fs, t)
+    p = fs.modulus
+    mds = tuple(
+        tuple(pow((x + y) % p, -1, p) for y in ys) for x in xs
+    )
+    return ark, mds
+
+
+# Default parameter tables: (rate, alpha, full_rounds, partial_rounds, skip_matrices)
+# for rates 2..8.  Values for BLS12-381 Fr come from the reference's test field
+# instantiation (/root/reference/src/test.rs:13-32).  The reference only ships
+# tables for its test field; any other field can supply its own table or call
+# find_poseidon_ark_and_mds directly.
+_BLS12_381_FR_CONSTRAINTS = (
+    (2, 17, 8, 31, 0),
+    (3, 5, 8, 56, 0),
+    (4, 5, 8, 56, 0),
+    (5, 5, 8, 57, 0),
+    (6, 5, 8, 57, 0),
+    (7, 5, 8, 57, 0),
+    (8, 5, 8, 57, 0),
+)
+_BLS12_381_FR_WEIGHTS = (
+    (2, 257, 8, 13, 0),
+    (3, 257, 8, 13, 0),
+    (4, 257, 8, 13, 0),
+    (5, 257, 8, 13, 0),
+    (6, 257, 8, 13, 0),
+    (7, 257, 8, 13, 0),
+    (8, 257, 8, 13, 0),
+)
+
+_DEFAULT_TABLES = {
+    "bls12_381_fr": {False: _BLS12_381_FR_CONSTRAINTS, True: _BLS12_381_FR_WEIGHTS},
+    # The BLS tables target any ~255-bit prime via the Grain seed, so reuse them as
+    # sensible defaults for BN254 Fr (capability parity: the reference lets any
+    # field declare tables via PoseidonDefaultConfig, traits.rs:43-56).
+    "bn254_fr": {False: _BLS12_381_FR_CONSTRAINTS, True: _BLS12_381_FR_WEIGHTS},
+}
+
+
+@functools.lru_cache(maxsize=None)
+def get_default_poseidon_parameters(
+    fs: FieldSpec, rate: int, optimized_for_weights: bool = False
+) -> PoseidonConfig:
+    """Default Poseidon parameters for ``rate`` 2..8 with capacity fixed to 1.
+
+    Mirrors get_default_poseidon_parameters_internal
+    (/root/reference/src/poseidon/traits.rs:69-102); raises KeyError/ValueError for
+    unknown fields or rates (the reference returns None).
+    """
+    table = _DEFAULT_TABLES[fs.name][bool(optimized_for_weights)]
+    for rate_, alpha, full_rounds, partial_rounds, skip_matrices in table:
+        if rate_ == rate:
+            ark, mds = find_poseidon_ark_and_mds(
+                fs, rate, full_rounds, partial_rounds, skip_matrices
+            )
+            return PoseidonConfig(
+                field=fs,
+                full_rounds=full_rounds,
+                partial_rounds=partial_rounds,
+                alpha=alpha,
+                ark=ark,
+                mds=mds,
+                rate=rate,
+                capacity=1,
+            )
+    raise ValueError(f"no default Poseidon parameters for rate={rate}")

@@ -1,0 +1,85 @@
+"""Batched Poseidon permutation over limb-plane state (pure-JAX tier).
+
+The reference hot loop (/root/reference/src/poseidon/mod.rs:95-118) is a scalar
+in-place state machine; here it is re-architected as a batched functional transform
+
+    state: (t, L, B) int32 Montgomery limb planes  ->  same shape
+
+advancing B independent sponge states per call.  Round structure:
+``R_F/2`` full rounds, ``R_P`` partial rounds (S-box on state element 0 only,
+mod.rs:72), ``R_F/2`` full rounds; each round is ARK add -> S-box x^alpha -> dense
+t x t MDS matrix-vector product, all expressed through the int32 Montgomery kernels
+in ``sponge_tpu.ops.montgomery``.
+
+Partial rounds use ``lax.fori_loop`` with the round constants gathered dynamically
+from a stacked (R, t, L, 1) array — keeping the traced graph small — while the 8
+full rounds are unrolled.  A fused Pallas version lives in
+``sponge_tpu.ops.pallas_permute``; this module is its semantic reference and the
+portable fallback.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import montgomery as mont
+from .config import PoseidonConfig, device_constants
+
+
+def _round(cfg, ark_r, mds, state, full: bool):
+    """One Poseidon round on (t, L, B) state. ``ark_r``: (t, L, 1); ``mds``: (t, t, L, 1)."""
+    fs = cfg.field
+    t = cfg.t
+    # ARK: additive round keys (mod.rs:76-80).
+    state = mont.mont_add(fs, state, ark_r)
+    # S-box (mod.rs:63-74): full -> all elements; partial -> element 0 only.
+    if full:
+        state = mont.mont_pow(fs, state, cfg.alpha)
+    else:
+        s0 = mont.mont_pow(fs, state[0], cfg.alpha)
+        state = jnp.concatenate([s0[None], state[1:]], axis=0)
+    # MDS: new[i] = sum_j mds[i][j] * state[j] (mod.rs:82-93).
+    rows = []
+    for i in range(t):
+        terms = [mont.mont_mul(fs, mds[i, j], state[j]) for j in range(t)]
+        rows.append(terms[0] if t == 1 else mont.mont_add(fs, *terms))
+    return jnp.stack(rows, axis=0)
+
+
+def permute(cfg: PoseidonConfig, state: jnp.ndarray) -> jnp.ndarray:
+    """Full Poseidon permutation on a (t, L, B) Montgomery limb-plane state batch."""
+    consts = device_constants(cfg)
+    ark = jnp.asarray(consts["ark"])  # (R, t, L, 1)
+    mds = jnp.asarray(consts["mds"])  # (t, t, L, 1)
+    half_full = cfg.full_rounds // 2
+
+    def full_body(r, st):
+        return _round(cfg, ark[r], mds, st, full=True)
+
+    def partial_body(r, st):
+        return _round(cfg, ark[r], mds, st, full=False)
+
+    # Three phases, each a fori_loop with the round constants gathered by round
+    # index — keeps the traced graph to two round bodies regardless of R_F/R_P.
+    state = jax.lax.fori_loop(0, half_full, full_body, state)
+    state = jax.lax.fori_loop(
+        half_full, half_full + cfg.partial_rounds, partial_body, state
+    )
+    state = jax.lax.fori_loop(
+        half_full + cfg.partial_rounds, cfg.rounds, full_body, state
+    )
+    return state
+
+
+@functools.lru_cache(maxsize=None)
+def permute_jit(cfg: PoseidonConfig):
+    """Jitted permutation specialized to ``cfg`` (cached per config)."""
+    return jax.jit(functools.partial(permute, cfg))
+
+
+def zero_state(cfg: PoseidonConfig, batch: int) -> jnp.ndarray:
+    """Zero-initialized sponge state batch (mod.rs:220); zero is 0 in Montgomery form."""
+    return jnp.zeros((cfg.t, cfg.field.nlimbs, batch), dtype=jnp.int32)

@@ -1,0 +1,22 @@
+"""Test configuration: force a deterministic 8-device CPU mesh.
+
+Multi-chip sharding is validated on virtual CPU devices
+(``--xla_force_host_platform_device_count=8``) exactly as SURVEY.md §4 prescribes;
+the real-TPU benchmark path is exercised separately by ``bench.py``.
+
+Note: this environment pre-seeds ``jax_platforms=axon,cpu`` (a tunneled TPU), and
+that setting overrides the ``JAX_PLATFORMS`` env var — so the platform must be
+forced through ``jax.config`` before the backend initializes.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
