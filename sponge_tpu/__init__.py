@@ -8,9 +8,35 @@ limb-plane field arithmetic, `jax.sharding` data parallelism, and fused Pallas
 permutation kernels.
 """
 
+from .absorb import (
+    NONE,
+    Fp,
+    I8,
+    I16,
+    I32,
+    I64,
+    I128,
+    Isize,
+    Some,
+    SWPoint,
+    TEPoint,
+    U8,
+    U16,
+    U32,
+    U64,
+    U128,
+    Usize,
+    WithLength,
+    collect_sponge_bytes,
+    collect_sponge_field_elements,
+    to_sponge_bytes,
+    to_sponge_field_elements,
+)
 from .fields import BLS12_381_FR, BN254_FR, FieldSpec, get_field
 from .poseidon.config import PoseidonConfig
+from .poseidon.oracle import FULL, SpongeState, Truncated
 from .poseidon.params import find_poseidon_ark_and_mds, get_default_poseidon_parameters
+from .sponge import Batched, PoseidonSponge
 
 __all__ = [
     "BLS12_381_FR",
@@ -20,6 +46,33 @@ __all__ = [
     "PoseidonConfig",
     "find_poseidon_ark_and_mds",
     "get_default_poseidon_parameters",
+    "PoseidonSponge",
+    "Batched",
+    "SpongeState",
+    "FULL",
+    "Truncated",
+    "Fp",
+    "U8",
+    "U16",
+    "U32",
+    "U64",
+    "U128",
+    "I8",
+    "I16",
+    "I32",
+    "I64",
+    "I128",
+    "Usize",
+    "Isize",
+    "Some",
+    "NONE",
+    "WithLength",
+    "SWPoint",
+    "TEPoint",
+    "to_sponge_bytes",
+    "to_sponge_field_elements",
+    "collect_sponge_bytes",
+    "collect_sponge_field_elements",
 ]
 
 __version__ = "0.1.0"

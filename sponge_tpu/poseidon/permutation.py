@@ -32,7 +32,6 @@ from .config import PoseidonConfig, device_constants
 def _round(cfg, ark_r, mds, state, full: bool):
     """One Poseidon round on (t, L, B) state. ``ark_r``: (t, L, 1); ``mds``: (t, t, L, 1)."""
     fs = cfg.field
-    t = cfg.t
     # ARK: additive round keys (mod.rs:76-80).
     state = mont.mont_add(fs, state, ark_r)
     # S-box (mod.rs:63-74): full -> all elements; partial -> element 0 only.
@@ -41,12 +40,12 @@ def _round(cfg, ark_r, mds, state, full: bool):
     else:
         s0 = mont.mont_pow(fs, state[0], cfg.alpha)
         state = jnp.concatenate([s0[None], state[1:]], axis=0)
-    # MDS: new[i] = sum_j mds[i][j] * state[j] (mod.rs:82-93).
-    rows = []
-    for i in range(t):
-        terms = [mont.mont_mul(fs, mds[i, j], state[j]) for j in range(t)]
-        rows.append(terms[0] if t == 1 else mont.mont_add(fs, *terms))
-    return jnp.stack(rows, axis=0)
+    # MDS: new[i] = sum_j mds[i][j] * state[j] (mod.rs:82-93), vectorized as ONE
+    # batched Montgomery product over the whole (t, t) matrix followed by a
+    # limb-wise sum over j (valid pre-normalization: t*2^12 column sums stay far
+    # below the int32 bound; two carry passes restore the limb invariant).
+    prod = mont.mont_mul(fs, mds, state[None])          # (t, t, L, B)
+    return mont.normalize(jnp.sum(prod, axis=1), passes=2)
 
 
 def permute(cfg: PoseidonConfig, state: jnp.ndarray) -> jnp.ndarray:

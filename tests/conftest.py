@@ -20,3 +20,9 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# Persistent compilation cache: the permutation takes 30-40 s to compile on CPU;
+# cache it across test runs so only the first invocation pays.
+jax.config.update("jax_compilation_cache_dir", "/tmp/sponge_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_enable_xla_caches", "all")
