@@ -1,0 +1,93 @@
+"""Fixed-shape Poseidon hashing built on the duplex sponge semantics.
+
+These are the throughput workloads (BASELINE.json configs): batched 2-to-1
+compression (one permutation per node — the duplex absorb of [l, r] into a fresh
+rate-2 sponge is permutation-free until the squeeze mode flip), fixed-arity
+hashing of element blocks, and Merkle tree reduction.  All of them are thin,
+jit-friendly wrappers around the batched permutation; outputs are bit-exact with
+running the reference sponge absorb/squeeze sequence (tested against the oracle).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from .ops import montgomery as mont
+from .poseidon.config import PoseidonConfig
+from .poseidon.permutation import batched_permute
+
+
+def compress_pairs(
+    cfg: PoseidonConfig, left: jnp.ndarray, right: jnp.ndarray, backend: str = "auto"
+) -> jnp.ndarray:
+    """Batched 2-to-1 compression: (L, B) x (L, B) Montgomery planes -> (L, B).
+
+    Semantics = fresh sponge, absorb([l, r]), squeeze 1 native element
+    (state layout capacity‖rate, zero-init, additive absorb — mod.rs:220,128;
+    the single permutation happens at the absorb->squeeze mode flip,
+    mod.rs:323-329).  Requires rate >= 2.
+    """
+    if cfg.rate < 2:
+        raise ValueError("2-to-1 compression needs rate >= 2")
+    L, B = left.shape[-2], left.shape[-1]
+    zeros = jnp.zeros((cfg.capacity, L, B), dtype=jnp.int32)
+    tail = jnp.zeros((cfg.rate - 2, L, B), dtype=jnp.int32)
+    state = jnp.concatenate([zeros, left[None], right[None], tail], axis=0)
+    out = batched_permute(cfg, state, backend)
+    return out[cfg.capacity]
+
+
+def hash_elements(
+    cfg: PoseidonConfig, elems: jnp.ndarray, num_outputs: int = 1, backend: str = "auto"
+) -> jnp.ndarray:
+    """Batched fixed-length hash: (k, L, B) Montgomery element plane -> (n, L, B).
+
+    Equivalent to: fresh sponge, absorb the k elements, squeeze ``num_outputs``
+    native elements — evaluated with the minimal number of batched permutations
+    (the duplex machine permutes every ``rate`` absorbed elements and at the
+    squeeze flip; mod.rs:121-150, 321-341).
+    """
+    k, L, B = elems.shape
+    if num_outputs > cfg.rate:
+        raise ValueError("squeeze more than rate elements via the sponge API")
+    state = jnp.zeros((cfg.t, L, B), dtype=jnp.int32)
+    fs = cfg.field
+    # absorb_internal chunking: add `rate` elements, permute, repeat; the final
+    # (possibly partial) chunk is left unpermuted until the squeeze flip.
+    pos = 0
+    while True:
+        chunk = elems[pos : pos + cfg.rate]
+        n = chunk.shape[0]
+        if n:
+            rows = mont.mont_add(fs, state[cfg.capacity : cfg.capacity + n], chunk)
+            state = jnp.concatenate(
+                [state[: cfg.capacity], rows, state[cfg.capacity + n :]], axis=0
+            )
+        pos += n
+        if pos >= k:
+            break
+        state = batched_permute(cfg, state, backend)
+    state = batched_permute(cfg, state, backend)  # absorb -> squeeze flip
+    return state[cfg.capacity : cfg.capacity + num_outputs]
+
+
+def merkle_root(
+    cfg: PoseidonConfig, leaves: jnp.ndarray, backend: str = "auto"
+) -> jnp.ndarray:
+    """Single-device Merkle reduction: (L, N) Montgomery leaf plane -> (L,) root.
+
+    N must be a power of two.  Each tree level is one batched 2-to-1 compression
+    over contiguous pairs; see ``sponge_tpu.parallel.merkle`` for the sharded
+    multi-device version.
+    """
+    L, N = leaves.shape
+    if N & (N - 1):
+        raise ValueError("leaf count must be a power of two")
+    level = leaves
+    while level.shape[-1] > 1:
+        pairs = level.reshape(L, level.shape[-1] // 2, 2)
+        level = compress_pairs(cfg, pairs[..., 0], pairs[..., 1], backend)
+    return level[:, 0]

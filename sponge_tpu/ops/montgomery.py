@@ -21,6 +21,7 @@ kernel in ``sponge_tpu.ops.pallas_permute``.
 from __future__ import annotations
 
 import functools
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -43,7 +44,12 @@ def field_consts(fs: FieldSpec):
         "r2": _const_col(fs, fs.r2_mod_p),
         "one": _const_col(fs, 1),
         "nprime": _const_col(fs, nprime),
-        "n0inv": np.int32(fs.n0inv),  # per-limb variant, used by the Pallas tier
+        # Static python-int limb tuples: used inside Pallas kernels as scalar
+        # immediates (Mosaic cannot broadcast a (1,1) slice across both sublanes
+        # and lanes, and immediates avoid the loads entirely).
+        "p_tuple": tuple(int(v) for v in fs.int_to_limbs(fs.modulus)),
+        "nprime_tuple": tuple(int(v) for v in fs.int_to_limbs(nprime)),
+        "n0inv": np.int32(fs.n0inv),
     }
 
 
@@ -78,33 +84,70 @@ def _pad_limbs(x: jnp.ndarray, before: int, after: int) -> jnp.ndarray:
     return jnp.pad(x, pad)
 
 
-def _school_full(L: int, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+def _limb(b, j: int):
+    """j-th limb of operand ``b``: a broadcastable slice for arrays, a python-int
+    immediate for static tuples (zero limbs return 0 so the term can be elided)."""
+    if isinstance(b, tuple):
+        return b[j]
+    return b[..., j : j + 1, :]
+
+
+def _school_full(L: int, a: jnp.ndarray, b) -> jnp.ndarray:
     """Full schoolbook product into 2L redundant columns: t[k] = sum_{i+j=k} a_i b_j.
 
     Expressed as L statically-padded shifted rank-1 updates summed in one tree —
     no dynamic-update-slices, so XLA traces/fuses it cheaply.  Columns < 2^29 for
-    limbs <= 2^12.
+    limbs <= 2^12.  ``b`` may be a limb-plane array or a static tuple of ints
+    (constant operand; zero limbs are skipped).
     """
     terms = [
-        _pad_limbs(a * b[..., j : j + 1, :], j, L - j) for j in range(L)
+        _pad_limbs(a * bj, j, L - j)
+        for j in range(L)
+        for bj in [_limb(b, j)]
+        if not (isinstance(bj, int) and bj == 0)
     ]
-    return jnp.sum(jnp.stack(terms, axis=0), axis=0)
+    return _tree_sum(terms) if terms else jnp.zeros(a.shape[:-2] + (2 * L,) + a.shape[-1:], a.dtype)
 
 
-def _school_low(L: int, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+def _school_low(L: int, a: jnp.ndarray, b) -> jnp.ndarray:
     """Low half of the schoolbook product (columns 0..L-1 only)."""
     terms = [
-        _pad_limbs(a[..., : L - j, :] * b[..., j : j + 1, :], j, 0) for j in range(L)
+        _pad_limbs(a[..., : L - j, :] * bj, j, 0)
+        for j in range(L)
+        for bj in [_limb(b, j)]
+        if not (isinstance(bj, int) and bj == 0)
     ]
-    return jnp.sum(jnp.stack(terms, axis=0), axis=0)
+    return _tree_sum(terms) if terms else jnp.zeros_like(a)
 
 
-def mont_mul(fs: FieldSpec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+def _tree_sum(terms):
+    """Pairwise-tree sum of a term list.
+
+    Avoids ``jnp.stack`` (which materializes an (L, ..., 2L, B) temporary — at
+    B = 2^17 that is ~0.5 GB per product and collapses throughput to HBM
+    bandwidth) while keeping the reduction depth logarithmic.
+    """
+    while len(terms) > 1:
+        nxt = [
+            terms[i] + terms[i + 1] if i + 1 < len(terms) else terms[i]
+            for i in range(0, len(terms), 2)
+        ]
+        terms = nxt
+    return terms[0]
+
+
+def mont_mul(
+    fs: FieldSpec,
+    a: jnp.ndarray,
+    b: jnp.ndarray,
+    p: Optional[jnp.ndarray] = None,
+    nprime: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
     """Batched Montgomery product ``a * b * R^{-1}`` over (..., L, B) limb planes.
 
-    Non-interleaved REDC, chosen for the XLA tier because every step is a fully
-    parallel schoolbook product (static pads + tree sums — tiny traced graph, no
-    sequential dynamic-slice chains):
+    Non-interleaved REDC, chosen because every step is a fully parallel schoolbook
+    product (static pads + tree sums — tiny traced graph, no sequential
+    dynamic-slice chains):
 
         T  = a * b                          (2L redundant columns)
         m  = (T mod R) * N' mod R           (N' = -p^{-1} mod R, precomputed limbs)
@@ -114,12 +157,16 @@ def mont_mul(fs: FieldSpec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     The only sequential piece is the L-step scalar carry chain computing the exact
     carry of S's low half into limb L.  Inputs: redundant limbs <= 2^12; output:
     same invariant, value < 2p (the redundant-m excess adds < p/4096).
-    The Pallas tier uses the tighter interleaved CIOS form instead.
+
+    ``p``/``nprime`` (each (L, 1) canonical limb columns) default to cached host
+    constants; inside a Pallas kernel they must be passed explicitly (Pallas
+    forbids captured array constants).
     """
     L = fs.nlimbs
-    consts = field_consts(fs)
-    p = jnp.asarray(consts["p"])            # (L, 1) canonical limbs
-    nprime = jnp.asarray(consts["nprime"])  # (L, 1) canonical limbs of -p^{-1} mod R
+    if p is None or nprime is None:
+        consts = field_consts(fs)
+        p = jnp.asarray(consts["p"])            # (L, 1) canonical limbs
+        nprime = jnp.asarray(consts["nprime"])  # (L, 1) limbs of -p^{-1} mod R
 
     # T = a*b, normalized back to <= 2^12 limbs (3 passes: 2^17 -> 2^5 -> 1 -> 0).
     # Top-limb carries cannot occur: value < p^2 < 2^510 < 2^(12*2L).
@@ -139,7 +186,10 @@ def mont_mul(fs: FieldSpec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     c = jnp.zeros_like(s_lo[..., 0, :])
     for k in range(L):
         c = (s_lo[..., k, :] + c) >> LIMB_BITS
-    r = s_hi.at[..., 0, :].add(c)
+    # r[0] += c, expressed as slice+concat (scatter-add does not lower in Pallas).
+    r = jnp.concatenate(
+        [s_hi[..., :1, :] + c[..., None, :], s_hi[..., 1:, :]], axis=-2
+    )
     return normalize(r, passes=3)
 
 
@@ -159,7 +209,13 @@ def mont_add(fs: FieldSpec, *xs: jnp.ndarray) -> jnp.ndarray:
     return normalize(acc, passes=2)
 
 
-def mont_pow(fs: FieldSpec, x: jnp.ndarray, alpha: int) -> jnp.ndarray:
+def mont_pow(
+    fs: FieldSpec,
+    x: jnp.ndarray,
+    alpha: int,
+    p: Optional[jnp.ndarray] = None,
+    nprime: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
     """x^alpha via MSB-first square-and-multiply (static chain, unrolled at trace).
 
     For the reference S-box exponents this costs: alpha=5 -> 2 sq + 1 mul,
@@ -170,9 +226,9 @@ def mont_pow(fs: FieldSpec, x: jnp.ndarray, alpha: int) -> jnp.ndarray:
     bits = bin(alpha)[2:]
     acc = x
     for bit in bits[1:]:
-        acc = mont_mul(fs, acc, acc)
+        acc = mont_mul(fs, acc, acc, p, nprime)
         if bit == "1":
-            acc = mont_mul(fs, acc, x)
+            acc = mont_mul(fs, acc, x, p, nprime)
     return acc
 
 

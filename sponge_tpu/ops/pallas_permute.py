@@ -1,0 +1,124 @@
+"""Fused Pallas TPU kernel for the full Poseidon permutation.
+
+The performance centerpiece of the framework.  The pure-XLA tier
+(``sponge_tpu.poseidon.permutation``) materializes round intermediates in HBM —
+at B = 2^20 that is gigabytes of temporaries (observed OOM) and every round pays
+HBM bandwidth.  This kernel runs *all* R_F + R_P rounds over a batch tile that
+stays resident in VMEM: state is read from HBM once and written once per
+permutation, making the kernel compute-bound on the int32 VPU.
+
+Layout: state (t, L, B) is tiled over the batch (lane) axis into (t, L, TB)
+blocks; the limb axis L sits on sublanes.  Round constants (ark) are gathered per
+round from a VMEM-resident (R, t, L, 1) input; the field constants p / N' and the
+MDS matrix arrive as small VMEM inputs (Pallas forbids captured array constants).
+The arithmetic is the exact same non-interleaved Montgomery REDC as the jnp tier
+(``ops.montgomery``), so the two tiers are semantically identical by construction
+and are cross-checked in tests.
+
+Round structure mirrors /root/reference/src/poseidon/mod.rs:95-118.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..poseidon.config import PoseidonConfig, device_constants
+from . import montgomery as mont
+
+# Default batch-tile width (lanes) per kernel program.  VMEM working set per tile
+# is ~(a few MB): state (t*L*TB*4B) plus schoolbook temporaries (~6 * 2L * TB * 4B
+# live at once after fusion).  512 lanes keeps comfortably inside 16 MB VMEM for
+# t <= 9 while saturating the 8x128 VPU.
+DEFAULT_TILE = 512
+
+
+def _round_in_kernel(cfg, ark_r, mds, p, nprime, state, full: bool):
+    """One Poseidon round on a (t, L, TB) VMEM-resident state tile."""
+    fs = cfg.field
+    state = mont.mont_add(fs, state, ark_r)
+    if full:
+        state = mont.mont_pow(fs, state, cfg.alpha, p, nprime)
+    else:
+        s0 = mont.mont_pow(fs, state[0], cfg.alpha, p, nprime)
+        state = jnp.concatenate([s0[None], state[1:]], axis=0)
+    prod = mont.mont_mul(fs, mds, state[None], p, nprime)  # (t, t, L, TB)
+    return mont.normalize(jnp.sum(prod, axis=1), passes=2)
+
+
+def _permute_kernel(ark_ref, mds_ref, state_ref, out_ref, *, cfg):
+    mds = mds_ref[:]          # (t, t, L, 1)
+    state = state_ref[:]      # (t, L, TB)
+    # Field constants enter as static python-int limb tuples -> scalar immediates.
+    fc = mont.field_consts(cfg.field)
+    p, nprime = fc["p_tuple"], fc["nprime_tuple"]
+
+    half_full = cfg.full_rounds // 2
+
+    # Round constants are gathered from the VMEM ref per round (dynamic ref
+    # indexing lowers to a VMEM load; dynamic_slice on a *value* does not).
+    def full_body(r, st):
+        return _round_in_kernel(cfg, ark_ref[r], mds, p, nprime, st, full=True)
+
+    def partial_body(r, st):
+        return _round_in_kernel(cfg, ark_ref[r], mds, p, nprime, st, full=False)
+
+    state = jax.lax.fori_loop(0, half_full, full_body, state)
+    state = jax.lax.fori_loop(
+        half_full, half_full + cfg.partial_rounds, partial_body, state
+    )
+    state = jax.lax.fori_loop(
+        half_full + cfg.partial_rounds, cfg.rounds, full_body, state
+    )
+    out_ref[:] = state
+
+
+@functools.lru_cache(maxsize=None)
+def pallas_permute_fn(cfg: PoseidonConfig, tile: int = DEFAULT_TILE, interpret: bool = False):
+    """Jitted fused permutation: (t, L, B) -> (t, L, B), B a multiple of ``tile``.
+
+    ``interpret=True`` runs the Pallas interpreter (CPU testing).
+    """
+    fs = cfg.field
+    L = fs.nlimbs
+    t = cfg.t
+    R = cfg.rounds
+    consts = device_constants(cfg)
+    ark_np = consts["ark"]
+    mds_np = consts["mds"]
+
+    kernel = functools.partial(_permute_kernel, cfg=cfg)
+
+    @jax.jit
+    def run(state):
+        B = state.shape[-1]
+        if B % tile != 0:
+            raise ValueError(f"batch {B} must be a multiple of tile {tile}")
+        grid = (B // tile,)
+        flops_per_lane = cfg.rounds * 40 * (3 * L * L)  # rough: muls dominate
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct(state.shape, jnp.int32),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((R, t, L, 1), lambda i: (0, 0, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((t, t, L, 1), lambda i: (0, 0, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((t, L, tile), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (t, L, tile), lambda i: (0, 0, i), memory_space=pltpu.VMEM
+            ),
+            cost_estimate=pl.CostEstimate(
+                flops=flops_per_lane * tile,
+                bytes_accessed=2 * t * L * tile * 4,
+                transcendentals=0,
+            ),
+            interpret=interpret,
+        )(jnp.asarray(ark_np), jnp.asarray(mds_np), state)
+
+    return run

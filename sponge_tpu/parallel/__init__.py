@@ -1,0 +1,16 @@
+"""Multi-device distribution: mesh setup, sharded permutation, sharded Merkle."""
+
+from .mesh import DATA_AXIS, batch_sharding, leaf_sharding, make_mesh, replicated
+from .merkle import sharded_merkle_root
+from .sharded import sharded_permute_fn, sharded_state
+
+__all__ = [
+    "DATA_AXIS",
+    "batch_sharding",
+    "leaf_sharding",
+    "make_mesh",
+    "replicated",
+    "sharded_merkle_root",
+    "sharded_permute_fn",
+    "sharded_state",
+]

@@ -1,0 +1,70 @@
+"""Sharded Merkle-tree reduction over a device mesh.
+
+The BASELINE.json headline distributed workload: 2-to-1 Poseidon compression over
+2^24 leaves, layer by layer.  Design (SURVEY.md §5.7, §7.3 item 4):
+
+* Leaves are laid out ``(L, N)`` with the leaf axis sharded over the 1-D ``data``
+  mesh in contiguous chunks, so every tree level pairs *adjacent* nodes locally —
+  zero communication while the level is wide.
+* Each wide level runs inside ``shard_map``: per-device ``compress_pairs`` over
+  the local chunk (the fused Pallas kernel on TPU).
+* When a level becomes too narrow to shard (fewer than ``2 * n_devices`` nodes —
+  the reshard-when-narrow cutover), the remainder is all-gathered once over ICI
+  and finished replicated on every device (cheaper than repeatedly rebalancing a
+  shrinking tail; the tail is O(n_devices) work).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from ..hash import compress_pairs, merkle_root
+from ..poseidon.config import PoseidonConfig
+from .mesh import DATA_AXIS, leaf_sharding
+
+
+def sharded_merkle_root(
+    cfg: PoseidonConfig,
+    leaves: jnp.ndarray,
+    mesh: Mesh,
+    backend: str = "auto",
+) -> jnp.ndarray:
+    """(L, N) Montgomery leaf plane sharded over ``mesh`` -> (L,) root.
+
+    N must be a power of two and divisible by the mesh size while the tree is
+    wide; the narrow tail switches to a replicated single-device reduction after
+    one all-gather.
+    """
+    L, N = leaves.shape
+    if N & (N - 1):
+        raise ValueError("leaf count must be a power of two")
+    D = mesh.devices.size
+
+    def local_layer(chunk):
+        # chunk: (L, N_local) — pair adjacent nodes and compress, fully local.
+        n = chunk.shape[-1]
+        pairs = chunk.reshape(L, n // 2, 2)
+        return compress_pairs(cfg, pairs[..., 0], pairs[..., 1], backend)
+
+    layer = shard_map(
+        local_layer,
+        mesh=mesh,
+        in_specs=P(None, DATA_AXIS),
+        out_specs=P(None, DATA_AXIS),
+    )
+
+    level = jax.device_put(leaves, leaf_sharding(mesh))
+    # Wide phase: every level halves; stop once pairs would straddle shards.
+    while level.shape[-1] >= 2 * D and level.shape[-1] > 1:
+        level = layer(level)
+
+    # Narrow tail: one gather, then finish replicated (O(D) nodes left).
+    if level.shape[-1] > 1:
+        level = jax.device_put(level, NamedSharding(mesh, P()))
+        level = merkle_root(cfg, level, backend="xla")[:, None]
+    return level[:, 0]

@@ -180,6 +180,37 @@ _DEFAULT_TABLES = {
 
 
 @functools.lru_cache(maxsize=None)
+@functools.lru_cache(maxsize=None)
+def poseidon_test_fixture() -> PoseidonConfig:
+    """The reference's hardcoded test parameter set (tests.rs:120-820).
+
+    BLS12-381 Fr, alpha=17, rate=2, capacity=1, R_F=8, R_P=29 — NOT reproducible
+    from the Grain LFSR (verified); the constants are transcribed as data in
+    ``vectors/poseidon_bls381_fr_test_fixture.json``.
+    """
+    import json
+    import pathlib
+
+    from ..fields import BLS12_381_FR
+
+    path = (
+        pathlib.Path(__file__).resolve().parent.parent.parent
+        / "vectors"
+        / "poseidon_bls381_fr_test_fixture.json"
+    )
+    data = json.loads(path.read_text())
+    return PoseidonConfig(
+        field=BLS12_381_FR,
+        full_rounds=data["full_rounds"],
+        partial_rounds=data["partial_rounds"],
+        alpha=data["alpha"],
+        ark=tuple(tuple(int(v) for v in row) for row in data["ark"]),
+        mds=tuple(tuple(int(v) for v in row) for row in data["mds"]),
+        rate=data["rate"],
+        capacity=data["capacity"],
+    )
+
+
 def get_default_poseidon_parameters(
     fs: FieldSpec, rate: int, optimized_for_weights: bool = False
 ) -> PoseidonConfig:

@@ -79,6 +79,25 @@ def permute_jit(cfg: PoseidonConfig):
     return jax.jit(functools.partial(permute, cfg))
 
 
+def batched_permute(cfg: PoseidonConfig, state: jnp.ndarray, backend: str = "auto"):
+    """Backend-dispatched batched permutation.
+
+    On TPU with a tile-aligned batch the fused Pallas kernel runs (state resident
+    in VMEM for all rounds); otherwise the pure-XLA tier.  ``backend`` may force
+    "pallas" / "xla".
+    """
+    from ..ops.pallas_permute import DEFAULT_TILE, pallas_permute_fn
+
+    B = state.shape[-1]
+    if backend == "auto":
+        use_pallas = jax.default_backend() == "tpu" and B % DEFAULT_TILE == 0
+    else:
+        use_pallas = backend == "pallas"
+    if use_pallas:
+        return pallas_permute_fn(cfg)(state)
+    return permute_jit(cfg)(state)
+
+
 def zero_state(cfg: PoseidonConfig, batch: int) -> jnp.ndarray:
     """Zero-initialized sponge state batch (mod.rs:220); zero is 0 in Montgomery form."""
     return jnp.zeros((cfg.t, cfg.field.nlimbs, batch), dtype=jnp.int32)

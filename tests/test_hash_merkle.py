@@ -1,0 +1,109 @@
+"""Fixed-shape hashing + Merkle reduction ≡ oracle sponge semantics, and the
+sharded (8 virtual device) paths ≡ single-device results."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from sponge_tpu import BLS12_381_FR, get_default_poseidon_parameters
+from sponge_tpu.hash import compress_pairs, hash_elements, merkle_root
+from sponge_tpu.ops import montgomery as mont
+from sponge_tpu.parallel import make_mesh, sharded_merkle_root, sharded_permute_fn, sharded_state
+from sponge_tpu.poseidon.oracle import OraclePoseidonSponge
+from sponge_tpu.poseidon.params import poseidon_test_fixture
+from sponge_tpu.poseidon.permutation import permute_jit
+
+FR = BLS12_381_FR
+CFG = get_default_poseidon_parameters(FR, 2, False)
+RNG = np.random.default_rng(11)
+
+
+def rand_fr(n):
+    return [int(RNG.integers(0, 2 ** 63)) ** 4 % FR.modulus for _ in range(n)]
+
+
+def oracle_compress(l, r):
+    o = OraclePoseidonSponge(CFG)
+    o.absorb_field_elements([l, r])
+    return o.squeeze_native_field_elements(1)[0]
+
+
+def test_compress_pairs_matches_oracle():
+    B = 8
+    ls, rs = rand_fr(B), rand_fr(B)
+    left = jnp.asarray(FR.ints_to_mont_plane(ls))
+    right = jnp.asarray(FR.ints_to_mont_plane(rs))
+    out = compress_pairs(CFG, left, right)
+    got = FR.mont_plane_to_ints(np.asarray(out))
+    assert got == [oracle_compress(l, r) for l, r in zip(ls, rs)]
+
+
+@pytest.mark.parametrize("k,n", [(1, 1), (2, 1), (3, 2), (5, 2), (7, 1)])
+def test_hash_elements_matches_oracle(k, n):
+    B = 4
+    grid = [rand_fr(B) for _ in range(k)]
+    elems = jnp.asarray(
+        np.stack([FR.ints_to_mont_plane(row) for row in grid], axis=0)
+    )
+    out = hash_elements(CFG, elems, num_outputs=n)
+    for b in range(B):
+        o = OraclePoseidonSponge(CFG)
+        o.absorb_field_elements([grid[i][b] for i in range(k)])
+        want = o.squeeze_native_field_elements(n)
+        got = [FR.mont_limbs_to_int(np.asarray(out)[j, :, b]) for j in range(n)]
+        assert got == want, (k, n, b)
+
+
+def test_merkle_root_matches_oracle():
+    N = 16
+    vals = rand_fr(N)
+    leaves = jnp.asarray(FR.ints_to_mont_plane(vals))
+    root = merkle_root(CFG, leaves)
+
+    level = list(vals)
+    while len(level) > 1:
+        level = [
+            oracle_compress(level[i], level[i + 1]) for i in range(0, len(level), 2)
+        ]
+    assert FR.mont_limbs_to_int(np.asarray(root)) == level[0]
+
+
+def test_sharded_merkle_matches_single_device():
+    mesh = make_mesh(8)
+    N = 128
+    vals = rand_fr(N)
+    leaves = jnp.asarray(FR.ints_to_mont_plane(vals))
+    root_single = merkle_root(CFG, leaves)
+    root_sharded = sharded_merkle_root(CFG, leaves, mesh)
+    assert FR.mont_limbs_to_int(np.asarray(root_sharded)) == FR.mont_limbs_to_int(
+        np.asarray(root_single)
+    )
+
+
+def test_sharded_permute_matches_local():
+    mesh = make_mesh(8)
+    B = 32
+    vals = [rand_fr(B) for _ in range(CFG.t)]
+    plane = np.stack([FR.ints_to_mont_plane(row) for row in vals], axis=0)
+    state = jax.device_put(jnp.asarray(plane), jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec(None, None, "data")))
+    out_sharded = np.asarray(sharded_permute_fn(CFG, mesh)(state))
+    out_local = np.asarray(permute_jit(CFG)(jnp.asarray(plane)))
+    assert np.array_equal(out_sharded, out_local)
+
+
+def test_fixture_golden_consistency():
+    """The transcribed tests.rs fixture drives the oracle sponge and a device
+    compress identically (cross-tier agreement on a second parameter set)."""
+    cfg = poseidon_test_fixture()
+    assert (cfg.alpha, cfg.full_rounds, cfg.partial_rounds) == (17, 8, 29)
+    l, r = rand_fr(2)
+    o = OraclePoseidonSponge(cfg)
+    o.absorb_field_elements([l, r])
+    want = o.squeeze_native_field_elements(1)[0]
+    left = jnp.asarray(FR.ints_to_mont_plane([l] * 8))
+    right = jnp.asarray(FR.ints_to_mont_plane([r] * 8))
+    out = compress_pairs(cfg, left, right)
+    assert FR.mont_plane_to_ints(np.asarray(out)) == [want] * 8
