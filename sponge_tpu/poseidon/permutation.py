@@ -82,18 +82,19 @@ def permute_jit(cfg: PoseidonConfig):
 def batched_permute(cfg: PoseidonConfig, state: jnp.ndarray, backend: str = "auto"):
     """Backend-dispatched batched permutation.
 
-    On TPU with a tile-aligned batch the fused Pallas kernel runs (state resident
-    in VMEM for all rounds); otherwise the pure-XLA tier.  ``backend`` may force
-    "pallas" / "xla".
+    On TPU with a tile-aligned batch the fused CIOS Pallas kernel runs (state
+    resident in VMEM for all rounds, interleaved-CIOS Montgomery arithmetic —
+    the fastest tier); otherwise the pure-XLA tier.  ``backend`` may force
+    "cios" / "pallas" (the reference-style fused kernel) / "xla".
     """
+    from ..ops.pallas_cios import TILE_LANES, cios_permute_fn
     from ..ops.pallas_permute import DEFAULT_TILE, pallas_permute_fn
 
     B = state.shape[-1]
-    if backend == "auto":
-        use_pallas = jax.default_backend() == "tpu" and B % DEFAULT_TILE == 0
-    else:
-        use_pallas = backend == "pallas"
-    if use_pallas:
+    on_tpu = jax.default_backend() == "tpu"
+    if backend == "cios" or (backend == "auto" and on_tpu and B % TILE_LANES == 0):
+        return cios_permute_fn(cfg)(state)
+    if backend == "pallas" or (backend == "auto" and on_tpu and B % DEFAULT_TILE == 0):
         return pallas_permute_fn(cfg)(state)
     return permute_jit(cfg)(state)
 

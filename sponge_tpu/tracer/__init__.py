@@ -1,0 +1,28 @@
+"""Constraint-tracing mirror of the sponge (the reference's `r1cs` feature).
+
+Run the duplex sponge over symbolic ``FpVar`` values to record an R1CS, check
+witness satisfaction, and count constraints — the capability the reference
+provides via ark-r1cs-std/ark-relations (SURVEY.md L5), rebuilt as an
+operator-overloaded tracer field.
+"""
+
+from .absorb_gadget import bytes_to_field_elements_gadget, to_sponge_field_elements_gadget
+from .r1cs import Boolean, ConstraintSystem, FpVar, LinearCombination, UInt8
+from .sponge_var import (
+    PoseidonSpongeVar,
+    bits_le_to_nonnative,
+    nonnative_limbs_value,
+)
+
+__all__ = [
+    "Boolean",
+    "ConstraintSystem",
+    "FpVar",
+    "LinearCombination",
+    "UInt8",
+    "PoseidonSpongeVar",
+    "bits_le_to_nonnative",
+    "nonnative_limbs_value",
+    "bytes_to_field_elements_gadget",
+    "to_sponge_field_elements_gadget",
+]

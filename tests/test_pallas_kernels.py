@@ -1,0 +1,111 @@
+"""Pallas kernel tiers vs oracle.
+
+The CIOS kernel's arithmetic helpers are pure jnp over limb lists, so they are
+unit-tested directly on CPU (no Pallas lowering needed); the readable fused
+kernel is run through the Pallas interpreter.  Full on-TPU runs of both kernels
+are exercised by bench.py and were cross-checked against the oracle on hardware.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from sponge_tpu import BLS12_381_FR, BN254_FR, get_default_poseidon_parameters
+from sponge_tpu.ops import montgomery as mont
+from sponge_tpu.ops.pallas_cios import _cios_mul, _mds_apply, _norm1, _pow_alpha
+from sponge_tpu.ops.pallas_permute import pallas_permute_fn
+from sponge_tpu.poseidon.oracle import OraclePoseidonSponge
+
+RNG = np.random.default_rng(17)
+
+
+def rand_ints(fs, n):
+    return [int(RNG.integers(0, 2 ** 63)) ** 4 % fs.modulus for _ in range(n)]
+
+
+def to_limb_list(fs, xs):
+    """ints -> list[L] of (1, len(xs)) arrays (Montgomery form)."""
+    plane = fs.ints_to_mont_plane(xs)  # (L, B)
+    return [jnp.asarray(plane[l : l + 1, :]) for l in range(fs.nlimbs)]
+
+
+def from_limb_list(fs, limbs):
+    plane = np.concatenate([np.asarray(l) for l in limbs], axis=0)
+    return fs.mont_plane_to_ints(plane)
+
+
+@pytest.mark.parametrize("fs", [BLS12_381_FR, BN254_FR], ids=lambda f: f.name)
+def test_cios_mul_matches_oracle(fs):
+    fc = mont.field_consts(fs)
+    p_t, n0 = fc["p_tuple"], int(fc["n0inv"])
+    xs, ys = rand_ints(fs, 8), rand_ints(fs, 8)
+    out = _cios_mul(fs.nlimbs, to_limb_list(fs, xs), to_limb_list(fs, ys), p_t, n0)
+    got = from_limb_list(fs, out)
+    assert got == [x * y % fs.modulus for x, y in zip(xs, ys)]
+
+
+@pytest.mark.parametrize("alpha", [5, 17, 257])
+def test_cios_pow_matches_oracle(alpha):
+    fs = BLS12_381_FR
+    fc = mont.field_consts(fs)
+    xs = rand_ints(fs, 4) + [0, 1, fs.modulus - 1]
+    out = _pow_alpha(
+        fs.nlimbs, to_limb_list(fs, xs), alpha, fc["p_tuple"], int(fc["n0inv"])
+    )
+    assert from_limb_list(fs, out) == [pow(x, alpha, fs.modulus) for x in xs]
+
+
+def test_cios_mds_lazy_accumulation():
+    """Lazy-REDC MDS row application == oracle matrix-vector product."""
+    fs = BLS12_381_FR
+    cfg = get_default_poseidon_parameters(fs, 2, False)
+    fc = mont.field_consts(fs)
+    mds_ints = tuple(
+        tuple(tuple(int(v) for v in fs.int_to_mont_limbs(c)) for c in row)
+        for row in cfg.mds
+    )
+    cols = [rand_ints(fs, 4) for _ in range(cfg.t)]
+    elems = [to_limb_list(fs, c) for c in cols]
+    out = _mds_apply(
+        fs.nlimbs, cfg.t, elems, mds_ints, fc["p_tuple"], int(fc["n0inv"])
+    )
+    for i in range(cfg.t):
+        want = [
+            sum(cfg.mds[i][j] * cols[j][b] for j in range(cfg.t)) % fs.modulus
+            for b in range(4)
+        ]
+        assert from_limb_list(fs, out[i]) == want
+
+
+def test_norm1_exact():
+    """One-pass sequential normalization is exact and canonical."""
+    fs = BLS12_381_FR
+    L = fs.nlimbs
+    vals = np.asarray(
+        RNG.integers(0, 1 << 30, size=(L, 6)), dtype=np.int64
+    )  # redundant columns
+    limbs_in = [jnp.asarray(vals[l : l + 1].astype(np.int32)) for l in range(L)]
+    out = _norm1(limbs_in)
+    got_plane = np.concatenate([np.asarray(l) for l in out], axis=0)
+    for b in range(6):
+        want = sum(int(vals[l, b]) << (12 * l) for l in range(L)) % (1 << (12 * L))
+        assert fs.limbs_to_int(got_plane[:, b]) == want
+        assert np.all(got_plane[:, b] <= 0xFFF)
+
+
+def test_fused_kernel_interpret_matches_oracle():
+    """The readable fused kernel through the Pallas interpreter (small batch)."""
+    fs = BLS12_381_FR
+    cfg = get_default_poseidon_parameters(fs, 2, False)
+    B = 512
+    vals = [rand_ints(fs, B) for _ in range(cfg.t)]
+    state = jnp.stack([jnp.asarray(fs.ints_to_mont_plane(row)) for row in vals])
+    out = np.asarray(pallas_permute_fn(cfg, interpret=True)(state))
+    for b in range(0, B, 127):
+        o = OraclePoseidonSponge(cfg)
+        o.state = [vals[i][b] for i in range(cfg.t)]
+        o.permute()
+        got = [fs.mont_limbs_to_int(out[i][:, b]) for i in range(cfg.t)]
+        assert got == o.state
