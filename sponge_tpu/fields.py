@@ -103,13 +103,37 @@ class FieldSpec:
     # ---- batch host codecs: (B,) python ints <-> (nlimbs, B) planes ----
 
     def ints_to_mont_plane(self, xs) -> np.ndarray:
-        """Sequence of ints -> (nlimbs, B) int32 Montgomery limb plane."""
+        """Sequence of ints -> (nlimbs, B) int32 Montgomery limb plane.
+
+        Uses the native C++ codec (csrc/host_codec.cc) when available — one
+        word-CIOS multiply per element instead of python bigints — and falls
+        back to pure python otherwise.
+        """
+        xs = list(xs)
+        if len(xs) >= 8:
+            from .utils.native import encode_mont_plane_native
+
+            buf = b"".join(
+                (int(x) % self.modulus).to_bytes(32, "little") for x in xs
+            )
+            out = encode_mont_plane_native(self, buf, len(xs))
+            if out is not None:
+                return out
         cols = [self.int_to_mont_limbs(int(x)) for x in xs]
         return np.stack(cols, axis=-1).astype(np.int32)
 
     def mont_plane_to_ints(self, plane: np.ndarray) -> list:
         """(nlimbs, B) Montgomery limb plane -> list of canonical ints."""
         plane = np.asarray(plane)
+        if plane.shape[-1] >= 8:
+            from .utils.native import decode_mont_plane_native
+
+            raw = decode_mont_plane_native(self, plane)
+            if raw is not None:
+                return [
+                    int.from_bytes(raw[i * 32 : (i + 1) * 32], "little")
+                    for i in range(plane.shape[-1])
+                ]
         return [self.mont_limbs_to_int(plane[:, b]) for b in range(plane.shape[-1])]
 
     # ---- byte/bit codecs matching ark-ff semantics ----

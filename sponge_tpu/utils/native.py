@@ -1,0 +1,135 @@
+"""ctypes loader for the native host codec (csrc/host_codec.cc).
+
+The shared library is built on first use with the system C++ compiler and cached
+under ``~/.cache/sponge_tpu``; every entry point degrades gracefully to the pure
+Python implementation when the toolchain or binary is unavailable, so the
+framework never *requires* the native tier — it is a host-throughput
+optimization (the device hot path is unaffected either way).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import pathlib
+import subprocess
+import threading
+from typing import Optional
+
+import numpy as np
+
+_SRC = pathlib.Path(__file__).resolve().parent.parent.parent / "csrc" / "host_codec.cc"
+_LOCK = threading.Lock()
+_LIB: Optional[ctypes.CDLL] = None
+_TRIED = False
+
+
+def _build() -> Optional[ctypes.CDLL]:
+    if not _SRC.exists():
+        return None
+    cache = pathlib.Path(
+        os.environ.get("SPONGE_TPU_CACHE", os.path.expanduser("~/.cache/sponge_tpu"))
+    )
+    try:
+        cache.mkdir(parents=True, exist_ok=True)
+    except OSError:
+        return None
+    tag = hashlib.sha256(_SRC.read_bytes()).hexdigest()[:16]
+    so = cache / f"libhostcodec-{tag}.so"
+    if not so.exists():
+        tmp = so.with_suffix(".tmp.so")
+        for cc in ("c++", "g++", "clang++"):
+            try:
+                subprocess.run(
+                    [cc, "-O3", "-shared", "-fPIC", "-o", str(tmp), str(_SRC)],
+                    check=True,
+                    capture_output=True,
+                    timeout=120,
+                )
+                tmp.rename(so)
+                break
+            except (OSError, subprocess.SubprocessError):
+                continue
+        else:
+            return None
+    try:
+        lib = ctypes.CDLL(str(so))
+    except OSError:
+        return None
+    lib.encode_mont_plane.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p
+    ]
+    lib.decode_mont_plane.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p
+    ]
+    lib.pack_bytes_to_elements.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p
+    ]
+    lib.pack_bytes_to_elements.restype = ctypes.c_int64
+    return lib
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    """The loaded native library, or None if unavailable (pure-python fallback)."""
+    global _LIB, _TRIED
+    if _TRIED:
+        return _LIB
+    with _LOCK:
+        if not _TRIED:
+            _LIB = _build()
+            _TRIED = True
+    return _LIB
+
+
+def _field_ctx(fs) -> np.ndarray:
+    """p ‖ c_enc ‖ c_dec ‖ n0inv as 32-bit words.
+
+    The native word-CIOS radix is R_c = 2^256; the device limb radix is
+    R_dev = 2^(12*22) = 2^264.  c_enc = R_c*R_dev mod p maps canonical -> device
+    Montgomery form in one native multiply; c_dec = R_c/R_dev mod p maps back.
+    """
+    p = fs.modulus
+    r_c = 1 << 256
+    r_dev = fs.r
+    ctx = np.zeros(25, dtype=np.uint32)
+    ctx[0:8] = np.frombuffer(p.to_bytes(32, "little"), dtype=np.uint32)
+    ctx[8:16] = np.frombuffer(
+        (r_c * r_dev % p).to_bytes(32, "little"), dtype=np.uint32
+    )
+    ctx[16:24] = np.frombuffer(
+        (r_c * pow(r_dev, -1, p) % p).to_bytes(32, "little"), dtype=np.uint32
+    )
+    ctx[24] = (-pow(p, -1, 1 << 32)) % (1 << 32)
+    return ctx
+
+
+def encode_mont_plane_native(fs, values_le: bytes, n: int) -> Optional[np.ndarray]:
+    """n canonical 32-byte-LE values -> (L, n) int32 device Montgomery plane.
+
+    The radix conversion (native word radix 2^256 vs device limb radix 2^264)
+    is folded into the encode/decode multipliers in ``_field_ctx``.
+    """
+    lib = get_lib()
+    if lib is None or fs.nlimbs != 22:
+        return None
+    out = np.empty((22, n), dtype=np.int32)
+    buf = np.frombuffer(values_le, dtype=np.uint8)
+    ctx = _field_ctx(fs)
+    lib.encode_mont_plane(
+        buf.ctypes.data, n, ctx.ctypes.data, out.ctypes.data
+    )
+    return out
+
+
+def decode_mont_plane_native(fs, plane: np.ndarray) -> Optional[bytes]:
+    """(L, n) int32 *native-R* Montgomery plane -> n canonical 32-byte-LE values."""
+    lib = get_lib()
+    if lib is None or fs.nlimbs != 22:
+        return None
+    plane = np.ascontiguousarray(plane, dtype=np.int32)
+    n = plane.shape[1]
+    out = np.empty(n * 32, dtype=np.uint8)
+    ctx = _field_ctx(fs)
+    lib.decode_mont_plane(plane.ctypes.data, n, ctx.ctypes.data, out.ctypes.data)
+    return out.tobytes()
