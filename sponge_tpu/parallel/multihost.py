@@ -1,0 +1,106 @@
+"""Multi-host (pod-slice) initialization and launch helpers.
+
+The reference has no distributed story at all (SURVEY.md §2.3); this is the
+additive TPU-native capability: one process per host joins a ``jax.distributed``
+cluster, builds the global data mesh over every chip in the slice, and runs the
+same `shard_map`-based workloads as the single-host path — XLA routes the
+batch-axis collectives over ICI within a host and DCN across hosts.
+
+Typical launcher (one command per host):
+
+    python -m sponge_tpu.parallel.multihost --coordinator=HOST0:1234 \
+        --num-processes=N --process-id=K
+
+or programmatically::
+
+    from sponge_tpu.parallel.multihost import initialize, global_mesh
+    initialize(coordinator, num_processes, process_id)   # no-op if single host
+    mesh = global_mesh()                                 # all chips, 1-D "data"
+"""
+
+from __future__ import annotations
+
+import argparse
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh
+
+from .mesh import DATA_AXIS
+
+
+def initialize(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+):
+    """Join the jax.distributed cluster (no-op for single-process runs).
+
+    In managed TPU environments the arguments are auto-detected; pass them
+    explicitly for manual launches.
+    """
+    if num_processes is None and coordinator_address is None:
+        return  # single process
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
+def global_mesh() -> Mesh:
+    """1-D data mesh over every device in the (possibly multi-host) slice."""
+    return Mesh(np.asarray(jax.devices()), (DATA_AXIS,))
+
+
+def scaling_report(cfg, batch_per_device: int = 1 << 17, reps: int = 5) -> dict:
+    """Measure sharded permutation throughput on the global mesh.
+
+    Returns {devices, perms_per_sec, perms_per_sec_per_device} — the harness
+    behind the >=90% multi-host scaling-efficiency target (BASELINE.md): compare
+    ``perms_per_sec_per_device`` across 1-chip / 1-host / N-host runs.
+    """
+    import time
+
+    from .sharded import sharded_permute_fn, sharded_state
+
+    mesh = global_mesh()
+    D = mesh.devices.size
+    B = batch_per_device * D
+    fn = sharded_permute_fn(cfg, mesh)
+    state = sharded_state(cfg, mesh, B)
+    out = fn(state)
+    _ = np.asarray(jax.device_get(out[0, 0, :4]))
+    t0 = time.time()
+    for _ in range(reps):
+        out = fn(out)
+    _ = np.asarray(jax.device_get(out[0, 0, :4]))
+    dt = (time.time() - t0) / reps
+    return {
+        "devices": D,
+        "perms_per_sec": B / dt,
+        "perms_per_sec_per_device": B / dt / D,
+    }
+
+
+def _main():
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--coordinator", default=None)
+    parser.add_argument("--num-processes", type=int, default=None)
+    parser.add_argument("--process-id", type=int, default=None)
+    parser.add_argument("--batch-per-device", type=int, default=1 << 17)
+    args = parser.parse_args()
+
+    from ..fields import BLS12_381_FR
+    from ..poseidon.params import get_default_poseidon_parameters
+
+    initialize(args.coordinator, args.num_processes, args.process_id)
+    cfg = get_default_poseidon_parameters(BLS12_381_FR, 2, False)
+    report = scaling_report(cfg, args.batch_per_device)
+    if jax.process_index() == 0:
+        print(report)
+
+
+if __name__ == "__main__":
+    _main()

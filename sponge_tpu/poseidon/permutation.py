@@ -92,7 +92,13 @@ def batched_permute(cfg: PoseidonConfig, state: jnp.ndarray, backend: str = "aut
 
     B = state.shape[-1]
     on_tpu = jax.default_backend() == "tpu"
-    if backend == "cios" or (backend == "auto" and on_tpu and B % TILE_LANES == 0):
+    # The unrolled CIOS kernel's MDS traces t^2 * L^2 multiply ops; beyond t=4
+    # the Mosaic graph gets impractically large, so wide states route to the
+    # vectorized fused kernel instead.
+    cios_ok = cfg.t <= 4
+    if backend == "cios" or (
+        backend == "auto" and on_tpu and cios_ok and B % TILE_LANES == 0
+    ):
         return cios_permute_fn(cfg)(state)
     if backend == "pallas" or (backend == "auto" and on_tpu and B % DEFAULT_TILE == 0):
         return pallas_permute_fn(cfg)(state)

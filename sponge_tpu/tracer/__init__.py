@@ -6,7 +6,12 @@ provides via ark-r1cs-std/ark-relations (SURVEY.md L5), rebuilt as an
 operator-overloaded tracer field.
 """
 
-from .absorb_gadget import bytes_to_field_elements_gadget, to_sponge_field_elements_gadget
+from .absorb_gadget import (
+    SWPointVar,
+    TEPointVar,
+    bytes_to_field_elements_gadget,
+    to_sponge_field_elements_gadget,
+)
 from .r1cs import Boolean, ConstraintSystem, FpVar, LinearCombination, UInt8
 from .sponge_var import (
     PoseidonSpongeVar,
@@ -14,7 +19,23 @@ from .sponge_var import (
     nonnative_limbs_value,
 )
 
+
+def gadget_of(sponge_cls):
+    """``SpongeWithGadget`` analogue (/root/reference/src/constraints/mod.rs:93-96):
+    maps a native sponge class to its in-circuit mirror."""
+    from ..sponge import PoseidonSponge
+
+    mapping = {PoseidonSponge: PoseidonSpongeVar}
+    try:
+        return mapping[sponge_cls]
+    except KeyError:
+        raise TypeError(f"no gadget registered for {sponge_cls!r}") from None
+
+
 __all__ = [
+    "SWPointVar",
+    "TEPointVar",
+    "gadget_of",
     "Boolean",
     "ConstraintSystem",
     "FpVar",

@@ -9,10 +9,35 @@ native ``ToConstraintField`` — here as linear combinations over the byte bits.
 
 from __future__ import annotations
 
+from dataclasses import dataclass
 from typing import List
 
 from ..fields import FieldSpec
 from .r1cs import Boolean, ConstraintSystem, FpVar, LinearCombination, UInt8
+
+
+@dataclass
+class TEPointVar:
+    """Twisted-Edwards affine point gadget: absorbs as [x, y]
+    (constraints/absorb.rs:125-128 via to_constraint_field)."""
+
+    x: FpVar
+    y: FpVar
+
+    def to_field_elements(self) -> List[FpVar]:
+        return [self.x, self.y]
+
+
+@dataclass
+class SWPointVar:
+    """Short-Weierstrass affine point gadget: absorbs as [x, y, infinity]."""
+
+    x: FpVar
+    y: FpVar
+    infinity: Boolean
+
+    def to_field_elements(self) -> List[FpVar]:
+        return [self.x, self.y, self.infinity.to_fp()]
 
 
 def bytes_to_field_elements_gadget(
@@ -49,6 +74,8 @@ def to_sponge_field_elements_gadget(x, cs: ConstraintSystem, fs: FieldSpec) -> L
         return [x.to_fp()]
     if isinstance(x, UInt8):
         return bytes_to_field_elements_gadget([x], cs, fs)
+    if isinstance(x, (TEPointVar, SWPointVar)):
+        return x.to_field_elements()
     if isinstance(x, list):
         if x and all(isinstance(e, UInt8) for e in x):
             # u8 batch: constant u64 LE length prefix + packing (absorb.rs:63-69).

@@ -1,0 +1,47 @@
+"""Profiling utilities + multi-host helpers (single-process, 8 virtual devices)."""
+
+import numpy as np
+
+import jax
+
+from sponge_tpu import BLS12_381_FR, get_default_poseidon_parameters
+from sponge_tpu.parallel.multihost import global_mesh, initialize, scaling_report
+from sponge_tpu.utils.profiling import ThroughputMeter, op_counts, sbox_muls
+
+
+CFG = get_default_poseidon_parameters(BLS12_381_FR, 2, False)
+
+
+def test_sbox_muls():
+    assert sbox_muls(5) == 3
+    assert sbox_muls(17) == 5
+    assert sbox_muls(257) == 9
+
+
+def test_op_counts():
+    c = op_counts(CFG)
+    # rate-2 constraints-opt: R_F=8, R_P=31, t=3, alpha=17
+    assert c["rounds"] == 39
+    assert c["sbox_applications"] == 8 * 3 + 31
+    assert c["field_muls"] == 55 * 5 + 39 * 9
+    assert c["r1cs_constraints_per_permutation"] == 5 * 55
+    assert c["int32_muls_cios_per_lane"] > 0
+
+
+def test_throughput_meter():
+    from sponge_tpu.poseidon.permutation import permute_jit, zero_state
+
+    meter = ThroughputMeter(reps=2)
+    rate = meter.measure(permute_jit(CFG), zero_state(CFG, 16))
+    assert rate > 0
+
+
+def test_initialize_single_process_noop():
+    initialize()  # must not raise without cluster args
+
+
+def test_scaling_report_virtual_mesh():
+    assert global_mesh().devices.size == 8
+    report = scaling_report(CFG, batch_per_device=8, reps=1)
+    assert report["devices"] == 8
+    assert report["perms_per_sec"] > 0
