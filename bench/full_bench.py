@@ -1,0 +1,167 @@
+"""Full benchmark suite: all five BASELINE.json measurement configs.
+
+Writes BENCHMARKS.md at the repo root with measured numbers on the local
+accelerator.  (The driver-facing ``bench.py`` at the repo root stays a single
+JSON line; this suite is the human-facing detail.)
+
+Run: ``python bench/full_bench.py [--quick]``
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def sync(x):
+    return np.asarray(x.reshape(-1)[:4])
+
+
+def bench_parity():
+    """Config 1: single-state absorb/squeeze parity vs ark-sponge vectors."""
+    from sponge_tpu import BLS12_381_FR, Fp, PoseidonSponge, get_default_poseidon_parameters
+
+    cfg = get_default_poseidon_parameters(BLS12_381_FR, 2, False)
+    s = PoseidonSponge(cfg, batch_size=1)
+    s.absorb([Fp(0, BLS12_381_FR), Fp(1, BLS12_381_FR), Fp(2, BLS12_381_FR)])
+    out = s.squeeze_native_field_elements(3)[0]
+    golden = [
+        40442793463571304028337753002242186710310163897048962278675457993207843616876,
+        2664374461699898000291153145224099287711224021716202960480903840045233645301,
+        50191078828066923662070228256530692951801504043422844038937334196346054068797,
+    ]
+    return {"name": "single-state parity vs ark-sponge vectors",
+            "value": "bit-exact" if out == golden else "MISMATCH", "unit": ""}
+
+
+def bench_batched_permutation(log_batch=20, reps=6):
+    """Config 3: batched permutation throughput, 2^20 states per chip."""
+    from sponge_tpu import BLS12_381_FR, get_default_poseidon_parameters
+    from sponge_tpu.poseidon.permutation import batched_permute, zero_state
+
+    cfg = get_default_poseidon_parameters(BLS12_381_FR, 2, False)
+    B = 1 << log_batch
+    out = batched_permute(cfg, zero_state(cfg, B))
+    sync(out)
+    t0 = time.time()
+    for _ in range(reps):
+        out = batched_permute(cfg, out)
+    sync(out)
+    rate = B / ((time.time() - t0) / reps)
+    return {"name": f"batched permutation (BLS12-381 Fr rate-2, B=2^{log_batch})",
+            "value": round(rate), "unit": "perms/s"}
+
+
+def bench_bn254(log_batch=17, reps=4):
+    """Config 2: BN254 Fr parameterization (rate 3, alpha=5) throughput."""
+    from sponge_tpu import BN254_FR, get_default_poseidon_parameters
+    from sponge_tpu.poseidon.permutation import batched_permute, zero_state
+
+    cfg = get_default_poseidon_parameters(BN254_FR, 3, False)
+    B = 1 << log_batch
+    out = batched_permute(cfg, zero_state(cfg, B))
+    sync(out)
+    t0 = time.time()
+    for _ in range(reps):
+        out = batched_permute(cfg, out)
+    sync(out)
+    rate = B / ((time.time() - t0) / reps)
+    return {"name": f"BN254 Fr rate-3 alpha=5 permutation (B=2^{log_batch})",
+            "value": round(rate), "unit": "perms/s"}
+
+
+def bench_merkle(log_leaves=24):
+    """Config 4: 2-to-1 Poseidon Merkle tree over 2^24 leaves."""
+    from sponge_tpu import BLS12_381_FR, get_default_poseidon_parameters
+    from sponge_tpu.hash import merkle_root
+
+    cfg = get_default_poseidon_parameters(BLS12_381_FR, 2, False)
+    N = 1 << log_leaves
+    leaves = jnp.zeros((BLS12_381_FR.nlimbs, N), dtype=jnp.int32)
+    root = merkle_root(cfg, leaves)  # warm-up / compile
+    np.asarray(root[:2])
+    t0 = time.time()
+    root = merkle_root(cfg, leaves)
+    np.asarray(root[:2])
+    dt = time.time() - t0
+    return {"name": f"Merkle tree, 2^{log_leaves} leaves (2-to-1, one perm/node)",
+            "value": round(N / dt), "unit": "leaves/s"}
+
+
+def bench_transcript(batch=1 << 14, reps=3):
+    """Config 5: mixed Fiat-Shamir transcript — byte/int/field absorbs, field +
+    bit + nonnative squeezes — batched over independent transcript lanes."""
+    from sponge_tpu import BLS12_381_FR, BN254_FR, get_default_poseidon_parameters
+    from sponge_tpu.poseidon.permutation import batched_permute
+    from sponge_tpu.sponge import PoseidonSponge
+    from sponge_tpu import Fp, U64
+
+    cfg = get_default_poseidon_parameters(BLS12_381_FR, 2, False)
+
+    def one_pass():
+        s = PoseidonSponge(cfg, batch_size=batch)
+        s.absorb(b"transcript-header")
+        s.absorb(U64(1))
+        s.absorb([Fp(12345, BLS12_381_FR), Fp(67890, BLS12_381_FR)])
+        s.squeeze_native_plane(2)
+        s.absorb(U64(2))
+        out = s.squeeze_native_plane(1)
+        return out
+
+    sync(one_pass())  # warm-up
+    t0 = time.time()
+    for _ in range(reps):
+        out = one_pass()
+    sync(out)
+    rate = batch * reps / (time.time() - t0)
+    return {"name": f"Fiat-Shamir transcript (5 steps, B={batch} lanes)",
+            "value": round(rate), "unit": "transcripts/s"}
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--quick", action="store_true", help="smaller shapes")
+    args = parser.parse_args()
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/sponge_tpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    rows = []
+    rows.append(bench_parity())
+    rows.append(bench_batched_permutation(14 if args.quick else 20))
+    rows.append(bench_bn254(12 if args.quick else 17))
+    rows.append(bench_merkle(14 if args.quick else 24))
+    rows.append(bench_transcript(1 << (10 if args.quick else 14)))
+
+    dev = str(jax.devices()[0])
+    lines = [
+        "# Measured benchmarks",
+        "",
+        f"Device: {dev}.  Produced by `python bench/full_bench.py`"
+        + (" --quick" if args.quick else "") + ".",
+        "",
+        "| Workload (BASELINE.json config) | Result | Unit |",
+        "|---|---|---|",
+    ]
+    for r in rows:
+        lines.append(f"| {r['name']} | {r['value']} | {r['unit']} |")
+        print(json.dumps(r))
+    # --quick numbers are smoke-test scale; don't clobber the real table.
+    name = "BENCHMARKS_quick.md" if args.quick else "BENCHMARKS.md"
+    out = pathlib.Path(__file__).resolve().parent.parent / name
+    out.write_text("\n".join(lines) + "\n")
+    print("wrote", out)
+
+
+if __name__ == "__main__":
+    main()

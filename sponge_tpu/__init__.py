@@ -32,13 +32,30 @@ from .absorb import (
     to_sponge_bytes,
     to_sponge_field_elements,
 )
+from .absorb import field_cast
 from .fields import BLS12_381_FR, BN254_FR, FieldSpec, get_field
 from .poseidon.config import PoseidonConfig
-from .poseidon.oracle import FULL, SpongeState, Truncated
-from .poseidon.params import find_poseidon_ark_and_mds, get_default_poseidon_parameters
+from .poseidon.oracle import (
+    ABSORBING,
+    FULL,
+    SQUEEZING,
+    OraclePoseidonSponge,
+    SpongeState,
+    Truncated,
+)
+from .poseidon.params import (
+    find_poseidon_ark_and_mds,
+    get_default_poseidon_parameters,
+    poseidon_test_fixture,
+)
 from .sponge import Batched, PoseidonSponge
 
 __all__ = [
+    "ABSORBING",
+    "SQUEEZING",
+    "OraclePoseidonSponge",
+    "field_cast",
+    "poseidon_test_fixture",
     "BLS12_381_FR",
     "BN254_FR",
     "FieldSpec",

@@ -75,19 +75,46 @@ def hash_elements(
 
 
 def merkle_root(
-    cfg: PoseidonConfig, leaves: jnp.ndarray, backend: str = "auto"
+    cfg: PoseidonConfig,
+    leaves: jnp.ndarray,
+    backend: str = "auto",
+    chunk: int = 1 << 17,
 ) -> jnp.ndarray:
     """Single-device Merkle reduction: (L, N) Montgomery leaf plane -> (L,) root.
 
-    N must be a power of two.  Each tree level is one batched 2-to-1 compression
-    over contiguous pairs; see ``sponge_tpu.parallel.merkle`` for the sharded
-    multi-device version.
+    N must be a power of two.  Each tree level is a batched 2-to-1 compression
+    over contiguous pairs.  To keep the number of distinct compiled kernel
+    shapes constant regardless of depth, wide levels are processed in
+    fixed-size ``chunk`` slices and narrow levels are zero-padded up to one
+    kernel tile (padding lanes compute a valid all-zero compression and are
+    discarded) — two compiled shapes total instead of log2(N).
+    See ``sponge_tpu.parallel.merkle`` for the sharded multi-device version.
     """
     L, N = leaves.shape
     if N & (N - 1):
         raise ValueError("leaf count must be a power of two")
+
+    on_tpu = jax.default_backend() == "tpu"
+
+    def level_compress(l, r):
+        n = l.shape[-1]
+        if n > chunk and n % chunk == 0:
+            outs = [
+                compress_pairs(
+                    cfg, l[..., i : i + chunk], r[..., i : i + chunk], backend
+                )
+                for i in range(0, n, chunk)
+            ]
+            return jnp.concatenate(outs, axis=-1)
+        if on_tpu and n < chunk:
+            pad = chunk - n
+            lp = jnp.pad(l, [(0, 0), (0, pad)])
+            rp = jnp.pad(r, [(0, 0), (0, pad)])
+            return compress_pairs(cfg, lp, rp, backend)[..., :n]
+        return compress_pairs(cfg, l, r, backend)
+
     level = leaves
     while level.shape[-1] > 1:
         pairs = level.reshape(L, level.shape[-1] // 2, 2)
-        level = compress_pairs(cfg, pairs[..., 0], pairs[..., 1], backend)
+        level = level_compress(pairs[..., 0], pairs[..., 1])
     return level[:, 0]

@@ -114,12 +114,36 @@ def _cios_mul_const(L, a, b_ints, p_limbs, n0inv):
     return _redc(L, cols, p_limbs, n0inv)
 
 
+def _cios_sqr(L, a, p_limbs, n0inv):
+    """Montgomery square, exploiting product symmetry: a_i*a_j (i<j) counted
+    once against a pre-doubled operand — ~L^2/2 multiplies instead of L^2.
+
+    Bounds: doubled limbs <= 2^13, so off-diagonal products are <= 2^25 with
+    <= ceil(L/2) addends per column plus the diagonal and REDC terms — still
+    comfortably < 2^31.
+    """
+    a2 = [ai + ai for ai in a]  # 2*a_i <= 2^13
+    cols = [None] * (2 * L)
+    for i in range(L):
+        # diagonal a_i^2
+        d = a[i] * a[i]
+        k = 2 * i
+        cols[k] = d if cols[k] is None else cols[k] + d
+        # off-diagonal pairs counted once with the doubled operand
+        for j in range(i + 1, L):
+            term = a2[i] * a[j]
+            k = i + j
+            cols[k] = term if cols[k] is None else cols[k] + term
+    cols[2 * L - 1] = jnp.zeros_like(a[0])
+    return _redc(L, cols, p_limbs, n0inv)
+
+
 def _pow_alpha(L, x, alpha, p_limbs, n0inv):
     """x^alpha by MSB-first square-and-multiply over limb lists."""
     bits = bin(alpha)[2:]
     acc = x
     for bit in bits[1:]:
-        acc = _cios_mul(L, acc, acc, p_limbs, n0inv)
+        acc = _cios_sqr(L, acc, p_limbs, n0inv)
         if bit == "1":
             acc = _cios_mul(L, acc, x, p_limbs, n0inv)
     return acc

@@ -107,3 +107,14 @@ def test_fixture_golden_consistency():
     right = jnp.asarray(FR.ints_to_mont_plane([r] * 8))
     out = compress_pairs(cfg, left, right)
     assert FR.mont_plane_to_ints(np.asarray(out)) == [want] * 8
+
+
+def test_merkle_chunked_matches_unchunked():
+    """The fixed-shape chunking path (wide levels sliced, narrow levels padded)
+    must not change the root."""
+    N = 64
+    vals = rand_fr(N)
+    leaves = jnp.asarray(FR.ints_to_mont_plane(vals))
+    r1 = merkle_root(CFG, leaves)
+    r2 = merkle_root(CFG, leaves, chunk=8)
+    assert np.array_equal(np.asarray(r1), np.asarray(r2))

@@ -14,7 +14,13 @@ import jax.numpy as jnp
 
 from sponge_tpu import BLS12_381_FR, BN254_FR, get_default_poseidon_parameters
 from sponge_tpu.ops import montgomery as mont
-from sponge_tpu.ops.pallas_cios import _cios_mul, _mds_apply, _norm1, _pow_alpha
+from sponge_tpu.ops.pallas_cios import (
+    _cios_mul,
+    _cios_sqr,
+    _mds_apply,
+    _norm1,
+    _pow_alpha,
+)
 from sponge_tpu.ops.pallas_permute import pallas_permute_fn
 from sponge_tpu.poseidon.oracle import OraclePoseidonSponge
 
@@ -44,6 +50,16 @@ def test_cios_mul_matches_oracle(fs):
     out = _cios_mul(fs.nlimbs, to_limb_list(fs, xs), to_limb_list(fs, ys), p_t, n0)
     got = from_limb_list(fs, out)
     assert got == [x * y % fs.modulus for x, y in zip(xs, ys)]
+
+
+@pytest.mark.parametrize("fs", [BLS12_381_FR, BN254_FR], ids=lambda f: f.name)
+def test_cios_sqr_matches_oracle(fs):
+    fc = mont.field_consts(fs)
+    xs = rand_ints(fs, 8) + [0, 1, fs.modulus - 1]
+    out = _cios_sqr(
+        fs.nlimbs, to_limb_list(fs, xs), fc["p_tuple"], int(fc["n0inv"])
+    )
+    assert from_limb_list(fs, out) == [x * x % fs.modulus for x in xs]
 
 
 @pytest.mark.parametrize("alpha", [5, 17, 257])
