@@ -128,6 +128,26 @@ def bench_transcript(batch=1 << 14, reps=3):
             "value": round(rate), "unit": "transcripts/s"}
 
 
+def bench_compiled_transcript(batch=1 << 17, reps=5):
+    """Config 5 (fast path): the same 5-step transcript as ONE fused program."""
+    from sponge_tpu import BLS12_381_FR, get_default_poseidon_parameters
+    from sponge_tpu.transcript import Absorb, SqueezeNative, compile_transcript
+
+    cfg = get_default_poseidon_parameters(BLS12_381_FR, 2, False)
+    schedule = [Absorb(3), SqueezeNative(2), Absorb(1), SqueezeNative(1)]
+    fn = compile_transcript(cfg, schedule)
+    elems = jnp.zeros((4, BLS12_381_FR.nlimbs, batch), dtype=jnp.int32)
+    out = fn(elems)
+    sync(out)
+    t0 = time.time()
+    for _ in range(reps):
+        out = fn(elems)
+    sync(out)
+    rate = batch * reps / (time.time() - t0)
+    return {"name": f"compiled Fiat-Shamir transcript (4 steps fused, B=2^17)",
+            "value": round(rate), "unit": "transcripts/s"}
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--quick", action="store_true", help="smaller shapes")
@@ -142,6 +162,7 @@ def main():
     rows.append(bench_bn254(12 if args.quick else 17))
     rows.append(bench_merkle(14 if args.quick else 24))
     rows.append(bench_transcript(1 << (10 if args.quick else 14)))
+    rows.append(bench_compiled_transcript(1 << (12 if args.quick else 17)))
 
     dev = str(jax.devices()[0])
     lines = [

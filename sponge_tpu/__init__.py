@@ -49,8 +49,14 @@ from .poseidon.params import (
     poseidon_test_fixture,
 )
 from .sponge import Batched, PoseidonSponge
+from .transcript import Absorb as TranscriptAbsorb
+from .transcript import SqueezeNative as TranscriptSqueeze
+from .transcript import compile_transcript
 
 __all__ = [
+    "compile_transcript",
+    "TranscriptAbsorb",
+    "TranscriptSqueeze",
     "ABSORBING",
     "SQUEEZING",
     "OraclePoseidonSponge",
