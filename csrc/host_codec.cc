@@ -96,10 +96,11 @@ inline void words_to_limbs(const uint32_t* w, int32_t* limbs) {
 inline void limbs_to_words(const FieldCtx& f, const int32_t* limbs, uint32_t* w) {
   // 22 x 12-bit limbs -> 8 x 32-bit words by Horner from the top limb.
   // Accepts REDUNDANT limbs (values up to ~2^13, as produced by the device
-  // kernels) representing values up to ~4.2p (the vectorized MDS sums three
-  // ~p-bounded Montgomery products) — which can exceed 2^256.  The Horner
-  // accumulates into 9 words; up to four conditional subtractions of p bring
-  // the value below p < 2^255 before it is narrowed to 8 words.
+  // kernels); the represented value can reach limb_max * 2^(12*21) * 2 < 2^266
+  // (t=9 XLA-tier states sum up to ~10p).  The Horner accumulates into 9 words
+  // (288 bits); binary shift-and-subtract (conditional subtract of p << k for
+  // k = 11..0) reduces below p < 2^255 before narrowing to 8 words — exact for
+  // any value < p * 2^12.
   uint32_t w9[NWORDS + 1] = {0};
   for (int l = NLIMBS - 1; l >= 0; --l) {
     uint64_t carry = (uint64_t)(uint32_t)limbs[l];  // w9 = (w9 << 12) + limb
@@ -109,17 +110,23 @@ inline void limbs_to_words(const FieldCtx& f, const int32_t* limbs, uint32_t* w)
       carry = cur >> 32;
     }
   }
-  for (int rep = 0; rep < 4; ++rep) {
+  for (int k = 11; k >= 0; --k) {
+    // pk = p << k over 9 words.
+    uint32_t pk[NWORDS + 1];
+    uint32_t hi = 0;
+    for (int j = 0; j < NWORDS + 1; ++j) {
+      uint32_t pj = j < NWORDS ? f.p[j] : 0;
+      pk[j] = (k == 0) ? pj : ((pj << k) | hi);
+      hi = (k == 0) ? 0 : (uint32_t)((uint64_t)pj >> (32 - k));
+    }
     uint32_t d[NWORDS + 1];
     uint64_t borrow = 0;
     for (int j = 0; j < NWORDS + 1; ++j) {
-      uint64_t pj = j < NWORDS ? f.p[j] : 0;
-      uint64_t cur = (uint64_t)w9[j] - pj - borrow;
+      uint64_t cur = (uint64_t)w9[j] - pk[j] - borrow;
       d[j] = (uint32_t)cur;
       borrow = (cur >> 63) & 1;
     }
-    if (borrow) break;  // value already < p
-    std::memcpy(w9, d, sizeof(d));
+    if (!borrow) std::memcpy(w9, d, sizeof(d));  // w9 >= p<<k: keep difference
   }
   std::memcpy(w, w9, NWORDS * sizeof(uint32_t));
 }

@@ -146,6 +146,12 @@ def bytes_to_field_elements(data: bytes, fs: FieldSpec) -> list:
     little-endian integer (always < p since the chunk has fewer bits than the
     modulus).
     """
+    if len(data) >= 1024:
+        from .utils.native import pack_bytes_to_elements_native
+
+        packed = pack_bytes_to_elements_native(fs, data)
+        if packed is not None:
+            return packed
     max_size = (fs.modulus_bit_size - 1) // 8
     return [
         int.from_bytes(data[i : i + max_size], "little")

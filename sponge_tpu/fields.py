@@ -45,6 +45,16 @@ class FieldSpec:
     def __post_init__(self):
         nlimbs = -(-max(self.modulus.bit_length() + 1, 256) // self.limb_bits)
         object.__setattr__(self, "nlimbs", nlimbs)
+        # int32 no-overflow proof obligation for the kernel tiers (see module
+        # doc): one schoolbook column plus the Montgomery-reduction additions
+        # must fit a signed 32-bit accumulator.  Enforced for EVERY FieldSpec —
+        # user-defined large-modulus fields must fail loudly, not wrap silently.
+        prod = (1 << self.limb_bits) ** 2
+        if (nlimbs + nlimbs - 1) * prod >= 2 ** 31:
+            raise ValueError(
+                f"modulus too large for the int32 limb design: {nlimbs} limbs of "
+                f"{self.limb_bits} bits overflow the column accumulator"
+            )
 
     # ---- derived Montgomery constants (python ints, computed once) ----
 

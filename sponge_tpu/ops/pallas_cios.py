@@ -232,6 +232,13 @@ def cios_permute_fn(
     t = cfg.t
     R = cfg.rounds
     tile_lanes = sublanes * 128
+    # Overflow guard, NOT just a graph-size heuristic: the lazy-REDC MDS column
+    # bound is t*L*2^24 (schoolbook) + (L-1)*2^24 (REDC) and must stay < 2^31.
+    if (t * L + L - 1) << 24 >= 1 << 31:
+        raise ValueError(
+            f"CIOS kernel supports t*L + L - 1 < 128 (got t={t}, L={L}); "
+            "use the vectorized kernel (backend='pallas') or the XLA tier"
+        )
     ark_np = np.stack(
         [
             np.concatenate([fs.int_to_mont_limbs(c) for c in row])

@@ -180,7 +180,6 @@ _DEFAULT_TABLES = {
 
 
 @functools.lru_cache(maxsize=None)
-@functools.lru_cache(maxsize=None)
 def poseidon_test_fixture() -> PoseidonConfig:
     """The reference's hardcoded test parameter set (tests.rs:120-820).
 

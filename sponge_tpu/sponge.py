@@ -34,7 +34,7 @@ from .poseidon.oracle import (
     bits_le_to_bytes,
     field_element_size_num_bits,
 )
-from .poseidon.permutation import permute_jit, zero_state
+from .poseidon.permutation import zero_state
 
 ABSORBING = "absorbing"
 SQUEEZING = "squeezing"
@@ -53,16 +53,21 @@ class Batched:
 
 
 def encode_ints_plane(fs: FieldSpec, values) -> np.ndarray:
-    """(k, B) or (k,) python-int grid -> (k, L, B) int32 Montgomery plane."""
+    """(k, B) or (k,) python-int grid -> (k, L, B) int32 Montgomery plane.
+
+    Routes through ``FieldSpec.ints_to_mont_plane`` (native C++ codec when
+    available) with a single flattened call instead of k*B python conversions.
+    """
     arr = np.asarray(values, dtype=object)
     if arr.ndim == 1:
         arr = arr[:, None]
     k, B = arr.shape
-    out = np.empty((k, fs.nlimbs, B), dtype=np.int32)
-    for i in range(k):
-        for b in range(B):
-            out[i, :, b] = fs.int_to_mont_limbs(int(arr[i, b]))
-    return out
+    if k == 0:
+        return np.empty((0, fs.nlimbs, B), dtype=np.int32)
+    flat = fs.ints_to_mont_plane(arr.reshape(-1))  # (L, k*B)
+    return np.ascontiguousarray(
+        flat.reshape(fs.nlimbs, k, B).transpose(1, 0, 2)
+    )
 
 
 def decode_canonical_plane(fs: FieldSpec, plane) -> list:
@@ -91,12 +96,15 @@ class PoseidonSponge:
         self.plane = zero_state(cfg, self._padded)  # (t, L, Bp), mod.rs:220
         self.mode = ABSORBING
         self.index = 0
-        self._permute_fn = permute_jit(cfg)
 
     # ---- core duplex machinery over device planes ----
 
     def _permute(self):
-        self.plane = self._permute_fn(self.plane)
+        # Backend-dispatched: large tile-aligned batches get the fused CIOS
+        # Pallas kernel on TPU; everything else the XLA tier.
+        from .poseidon.permutation import batched_permute
+
+        self.plane = batched_permute(self.cfg, self.plane)
 
     def _add_into_rate(self, start: int, chunk: jnp.ndarray):
         """state[capacity+start : capacity+start+k] += chunk  (mod.rs:128,143)."""
@@ -162,14 +170,18 @@ class PoseidonSponge:
                     "Batched lanes must encode to the same number of elements"
                 )
             grid = np.asarray(encoded, dtype=object).T  # (k, B)
-        else:
-            elems = absorb_codec.to_sponge_field_elements(x, fs)
-            grid = np.asarray(
-                [[e] * self.batch_size for e in elems], dtype=object
-            )  # (k, B)
-        if grid.shape[0] == 0:
-            return  # empty absorb is a no-op (mod.rs:234-236)
-        self.absorb_element_plane(encode_ints_plane(fs, grid))
+            if grid.shape[0] == 0:
+                return  # empty absorb is a no-op (mod.rs:234-236)
+            self.absorb_element_plane(encode_ints_plane(fs, grid))
+            return
+        # Broadcast input: encode each element ONCE and broadcast across lanes.
+        elems = absorb_codec.to_sponge_field_elements(x, fs)
+        if not elems:
+            return
+        col = encode_ints_plane(fs, [[e] for e in elems])  # (k, L, 1)
+        self.absorb_element_plane(
+            np.broadcast_to(col, (len(elems), fs.nlimbs, self.batch_size))
+        )
 
     def absorb_element_plane(self, elems: np.ndarray):
         """Absorb a pre-encoded (k, L, B) Montgomery element plane (fast path)."""
@@ -294,7 +306,6 @@ class PoseidonSponge:
         new.plane = self.plane
         new.mode = self.mode
         new.index = self.index
-        new._permute_fn = self._permute_fn
         return new
 
     def into_state(self) -> SpongeState:

@@ -133,3 +133,20 @@ def decode_mont_plane_native(fs, plane: np.ndarray) -> Optional[bytes]:
     ctx = _field_ctx(fs)
     lib.decode_mont_plane(plane.ctypes.data, n, ctx.ctypes.data, out.ctypes.data)
     return out.tobytes()
+
+
+def pack_bytes_to_elements_native(fs, data: bytes):
+    """Byte stream -> list of ints via the native 31-byte chunk packer,
+    or None for the pure-python fallback."""
+    lib = get_lib()
+    chunk = (fs.modulus_bit_size - 1) // 8
+    if lib is None or chunk > 32 or not data:
+        return None  # python fallback handles these (incl. empty -> [])
+    n = (len(data) + chunk - 1) // chunk
+    buf = np.frombuffer(bytes(data), dtype=np.uint8)
+    out = np.empty(n * 32, dtype=np.uint8)
+    lib.pack_bytes_to_elements(buf.ctypes.data, len(data), chunk, out.ctypes.data)
+    raw = out.tobytes()
+    return [
+        int.from_bytes(raw[i * 32 : (i + 1) * 32], "little") for i in range(n)
+    ]
