@@ -149,6 +149,49 @@ def _pow_alpha(L, x, alpha, p_limbs, n0inv):
     return acc
 
 
+def _sparse_apply(L, t, elems, row0, col0, p_limbs, n0inv):
+    """Apply one optimized-partial-round sparse matrix to limb-list elements.
+
+    ``row0``: t limb vectors (lists of scalars — SMEM loads in-kernel, ints in
+    tests); ``col0``: t-1 limb vectors.  out[0] = <row0, elems> with lazy column
+    accumulation (same int32 bound as the dense MDS: t*L + L-1 addends);
+    out[i] = REDC(col0[i-1] * elems[0]) + elems[i] (limbs <= 2^13, renormalized
+    by the next round's constant-add norm).
+    """
+    # out0 = sum_e row0[e] * elems[e]
+    cols = [None] * (2 * L)
+    for e in range(t):
+        xe = elems[e]
+        re = row0[e]
+        for l2 in range(L):
+            c = re[l2]
+            for l1 in range(L):
+                term = xe[l1] * c
+                k = l1 + l2
+                cols[k] = term if cols[k] is None else cols[k] + term
+    for k in range(2 * L):
+        if cols[k] is None:
+            cols[k] = jnp.zeros_like(elems[0][0])
+    out = [_redc(L, cols, p_limbs, n0inv)]
+    # out[i] = col0[i-1] * x0 + x_i
+    x0 = elems[0]
+    for i in range(1, t):
+        ci = col0[i - 1]
+        cols = [None] * (2 * L)
+        for l2 in range(L):
+            c = ci[l2]
+            for l1 in range(L):
+                term = x0[l1] * c
+                k = l1 + l2
+                cols[k] = term if cols[k] is None else cols[k] + term
+        for k in range(2 * L):
+            if cols[k] is None:
+                cols[k] = jnp.zeros_like(x0[0])
+        prod = _redc(L, cols, p_limbs, n0inv)
+        out.append([a + b for a, b in zip(prod, elems[i])])  # limbs <= 2^13
+    return out
+
+
 def _mds_apply(L, t, elems, mds_ints, p_limbs, n0inv):
     """new[i] = sum_j mds[i][j] * elems[j], with lazy column accumulation.
 
@@ -176,7 +219,7 @@ def _mds_apply(L, t, elems, mds_ints, p_limbs, n0inv):
     return out
 
 
-def _permute_kernel(ark_ref, state_ref, out_ref, *, cfg):
+def _permute_kernel(ark_ref, popt_ref, state_ref, out_ref, *, cfg, optimized):
     fs = cfg.field
     L = fs.nlimbs
     t = cfg.t
@@ -213,9 +256,60 @@ def _permute_kernel(ark_ref, state_ref, out_ref, *, cfg):
     st4 = state_ref[:]
 
     st4 = jax.lax.fori_loop(0, half, lambda r, s: round_body(r, s, True), st4)
-    st4 = jax.lax.fori_loop(
-        half, half + cfg.partial_rounds, lambda r, s: round_body(r, s, False), st4
-    )
+
+    if not optimized:
+        st4 = jax.lax.fori_loop(
+            half, half + cfg.partial_rounds, lambda r, s: round_body(r, s, False),
+            st4,
+        )
+    else:
+        # Optimized partial phase (sparse MDS decomposition, see
+        # poseidon/optimized.py).  popt_ref rows r = 0..k-2 hold
+        # č ‖ row0 ‖ col0 limbs; the final dense matrix D is static.
+        from ..poseidon.optimized import optimized_partial_layers
+
+        layers = optimized_partial_layers(cfg)
+        d_ints = tuple(
+            tuple(tuple(int(v) for v in fs.int_to_mont_limbs(c)) for c in row)
+            for row in layers.dense
+        )
+
+        # First partial round: original ark row (index half), sbox0 only.
+        elems = unpack(st4)
+        for e in range(t):
+            elems[e] = _norm1(
+                [elems[e][l] + ark_ref[half, e * L + l] for l in range(L)]
+            )
+        elems[0] = _pow_alpha(L, elems[0], cfg.alpha, p_limbs, n0inv)
+        st4 = pack(elems)
+
+        def opt_body(r, s4):
+            els = unpack(s4)
+            # x += č_r, renormalize (also re-canonicalizes the 2^13-limb
+            # carries left by the previous sparse apply).
+            for e in range(t):
+                els[e] = _norm1(
+                    [els[e][l] + popt_ref[r, e * L + l] for l in range(L)]
+                )
+            row0 = [
+                [popt_ref[r, (t + e) * L + l] for l in range(L)] for e in range(t)
+            ]
+            col0 = [
+                [popt_ref[r, (2 * t + i) * L + l] for l in range(L)]
+                for i in range(t - 1)
+            ]
+            els = _sparse_apply(L, t, els, row0, col0, p_limbs, n0inv)
+            els[0] = _pow_alpha(L, els[0], cfg.alpha, p_limbs, n0inv)
+            return pack(els)
+
+        st4 = jax.lax.fori_loop(0, cfg.partial_rounds - 1, opt_body, st4)
+
+        # Final accumulated dense matrix D (inputs renormalized first: the last
+        # sparse apply leaves 2^13 limbs, and the dense column bound needs
+        # canonical inputs).
+        elems = [_norm1(limbs) for limbs in unpack(st4)]
+        st4 = pack(_mds_apply(L, t, elems, d_ints, p_limbs, n0inv))
+
     st4 = jax.lax.fori_loop(
         half + cfg.partial_rounds, cfg.rounds, lambda r, s: round_body(r, s, True), st4
     )
@@ -224,7 +318,10 @@ def _permute_kernel(ark_ref, state_ref, out_ref, *, cfg):
 
 @functools.lru_cache(maxsize=None)
 def cios_permute_fn(
-    cfg: PoseidonConfig, interpret: bool = False, sublanes: int = SUBLANES
+    cfg: PoseidonConfig,
+    interpret: bool = False,
+    sublanes: int = SUBLANES,
+    optimized: bool = True,
 ):
     """Jitted CIOS permutation: (t, L, B) -> (t, L, B), B % (sublanes*128) == 0."""
     fs = cfg.field
@@ -246,7 +343,25 @@ def cios_permute_fn(
         ]
     ).astype(np.int32)  # (R, t*L)
 
-    kernel = functools.partial(_permute_kernel, cfg=cfg)
+    optimized = optimized and cfg.partial_rounds >= 2
+    if optimized:
+        from ..poseidon.optimized import optimized_partial_layers
+
+        layers = optimized_partial_layers(cfg)
+        rows = []
+        for c, sp in zip(layers.constants, layers.sparse):
+            rows.append(
+                np.concatenate(
+                    [fs.int_to_mont_limbs(v) for v in c]
+                    + [fs.int_to_mont_limbs(v) for v in sp.row0]
+                    + [fs.int_to_mont_limbs(v) for v in sp.col0]
+                )
+            )
+        popt_np = np.stack(rows).astype(np.int32)  # (k-1, (3t-1)*L)
+    else:
+        popt_np = np.zeros((1, 1), dtype=np.int32)
+
+    kernel = functools.partial(_permute_kernel, cfg=cfg, optimized=optimized)
 
     @jax.jit
     def run(state):
@@ -260,6 +375,7 @@ def cios_permute_fn(
             out_shape=jax.ShapeDtypeStruct(st4.shape, jnp.int32),
             grid=grid,
             in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec(
                     (t, L, sublanes, 128),
@@ -276,7 +392,7 @@ def cios_permute_fn(
                 transcendentals=0,
             ),
             interpret=interpret,
-        )(jnp.asarray(ark_np), st4)
+        )(jnp.asarray(ark_np), jnp.asarray(popt_np), st4)
         return out.reshape(t, L, B)
 
     return run
