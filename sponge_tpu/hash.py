@@ -51,8 +51,6 @@ def hash_elements(
     squeeze flip; mod.rs:121-150, 321-341).
     """
     k, L, B = elems.shape
-    if num_outputs > cfg.rate:
-        raise ValueError("squeeze more than rate elements via the sponge API")
     state = jnp.zeros((cfg.t, L, B), dtype=jnp.int32)
     fs = cfg.field
     # absorb_internal chunking: add `rate` elements, permute, repeat; the final
@@ -71,7 +69,19 @@ def hash_elements(
             break
         state = batched_permute(cfg, state, backend)
     state = batched_permute(cfg, state, backend)  # absorb -> squeeze flip
-    return state[cfg.capacity : cfg.capacity + num_outputs]
+    # squeeze_internal chunking (mod.rs:153-182).  With rate_start_index = 0
+    # (fresh squeeze) the no-permute quirk branch never triggers: every full
+    # rate chunk is followed by a permutation.
+    outs = []
+    remaining = num_outputs
+    while True:
+        if remaining <= cfg.rate:
+            outs.append(state[cfg.capacity : cfg.capacity + remaining])
+            break
+        outs.append(state[cfg.capacity : cfg.capacity + cfg.rate])
+        remaining -= cfg.rate
+        state = batched_permute(cfg, state, backend)
+    return jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
 
 
 def merkle_root(
@@ -118,3 +128,62 @@ def merkle_root(
         pairs = level.reshape(L, level.shape[-1] // 2, 2)
         level = level_compress(pairs[..., 0], pairs[..., 1])
     return level[:, 0]
+
+
+def merkle_tree(
+    cfg: PoseidonConfig, leaves: jnp.ndarray, backend: str = "auto", chunk: int = 1 << 17
+) -> list:
+    """All levels of the Merkle tree, leaves first: [(L, N), (L, N/2), ..., (L, 1)].
+
+    Level i+1[j] = compress(level i[2j], level i[2j+1]).  Needed for producing
+    authentication paths; ``merkle_root(...) == merkle_tree(...)[-1][:, 0]``.
+    """
+    L, N = leaves.shape
+    if N & (N - 1):
+        raise ValueError("leaf count must be a power of two")
+    levels = [leaves]
+    while levels[-1].shape[-1] > 1:
+        cur = levels[-1]
+        pairs = cur.reshape(L, cur.shape[-1] // 2, 2)
+        levels.append(compress_pairs(cfg, pairs[..., 0], pairs[..., 1], backend))
+    return levels
+
+
+def merkle_open(levels: list, index: int) -> list:
+    """Authentication path for leaf ``index``: sibling limb columns, bottom-up.
+
+    Returns ``[(L,) sibling at depth 0, ..., (L,) sibling below the root]``.
+    """
+    path = []
+    for level in levels[:-1]:
+        path.append(level[:, index ^ 1])
+        index >>= 1
+    return path
+
+
+def merkle_verify(
+    cfg: PoseidonConfig,
+    root: jnp.ndarray,
+    leaf: jnp.ndarray,
+    path: list,
+    index: int,
+    backend: str = "auto",
+) -> bool:
+    """Recompute the root from a leaf + authentication path and compare.
+
+    ``root``/``leaf``/path entries are (L,) Montgomery limb columns (as produced
+    by merkle_tree/merkle_open).  Comparison is on canonical values, so
+    redundant-limb representations of equal field elements compare equal.
+    """
+    import numpy as np
+
+    fs = cfg.field
+    cur = leaf[:, None]
+    for sibling in path:
+        sib = sibling[:, None]
+        l, r = (cur, sib) if index % 2 == 0 else (sib, cur)
+        cur = compress_pairs(cfg, l, r, backend="xla" if backend == "auto" else backend)
+        index >>= 1
+    got = fs.mont_limbs_to_int(np.asarray(cur[:, 0]))
+    want = fs.mont_limbs_to_int(np.asarray(root))
+    return got == want

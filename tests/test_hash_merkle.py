@@ -118,3 +118,43 @@ def test_merkle_chunked_matches_unchunked():
     r1 = merkle_root(CFG, leaves)
     r2 = merkle_root(CFG, leaves, chunk=8)
     assert np.array_equal(np.asarray(r1), np.asarray(r2))
+
+
+def test_merkle_open_verify():
+    """Authentication paths verify against the root and reject tampering."""
+    from sponge_tpu.hash import merkle_open, merkle_tree, merkle_verify
+
+    N = 16
+    vals = rand_fr(N)
+    leaves = jnp.asarray(FR.ints_to_mont_plane(vals))
+    levels = merkle_tree(CFG, leaves)
+    root = levels[-1][:, 0]
+    assert FR.mont_limbs_to_int(np.asarray(root)) == FR.mont_limbs_to_int(
+        np.asarray(merkle_root(CFG, leaves))
+    )
+    for idx in (0, 7, 15):
+        path = merkle_open(levels, idx)
+        assert merkle_verify(CFG, root, leaves[:, idx], path, idx)
+        # wrong index fails
+        assert not merkle_verify(CFG, root, leaves[:, idx], path, idx ^ 1)
+    # tampered leaf fails
+    bad = jnp.asarray(FR.ints_to_mont_plane([vals[3] + 1]))[:, 0]
+    assert not merkle_verify(CFG, root, bad, merkle_open(levels, 3), 3)
+
+
+def test_hash_elements_long_squeeze():
+    """num_outputs > rate goes through multi-chunk squeezes."""
+    from sponge_tpu.hash import hash_elements
+
+    B = 2
+    grid = [rand_fr(B) for _ in range(3)]
+    elems = jnp.asarray(
+        np.stack([FR.ints_to_mont_plane(row) for row in grid], axis=0)
+    )
+    out = np.asarray(hash_elements(CFG, elems, num_outputs=5))
+    for b in range(B):
+        o = OraclePoseidonSponge(CFG)
+        o.absorb_field_elements([grid[i][b] for i in range(3)])
+        want = o.squeeze_native_field_elements(5)
+        got = [FR.mont_limbs_to_int(out[j, :, b]) for j in range(5)]
+        assert got == want
