@@ -18,7 +18,6 @@ loop map cleanly onto the TPU vector unit.
 
 from __future__ import annotations
 
-import functools
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -120,7 +119,9 @@ class FieldSpec:
         back to pure python otherwise.
         """
         xs = list(xs)
-        if len(xs) >= 8:
+        # The native tier is fixed to the 22-limb/256-bit layout; gate before
+        # building the 32-byte buffer (a >256-bit field would overflow it).
+        if len(xs) >= 8 and self.nlimbs == 22:
             from .utils.native import encode_mont_plane_native
 
             buf = b"".join(
@@ -189,15 +190,5 @@ def get_field(name: str) -> FieldSpec:
     return _FIELDS[name]
 
 
-@functools.lru_cache(maxsize=None)
-def _mod_bounds_ok(fs: FieldSpec) -> bool:
-    """Static proof obligations for the int32 no-overflow design (see module doc)."""
-    L = fs.nlimbs
-    prod = (1 << fs.limb_bits) ** 2           # one partial product, inputs <= 2^12
-    col = L * prod                            # schoolbook column sum
-    redc = col + (L - 1) * prod               # + Montgomery reduction additions
-    return redc < 2 ** 31
-
-
-for _f in _FIELDS.values():
-    assert _mod_bounds_ok(_f), f"limb parameters overflow int32 for {_f.name}"
+# The int32 no-overflow proof obligation is enforced for every FieldSpec in
+# __post_init__ (see above); nothing further to assert here.

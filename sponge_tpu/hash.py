@@ -103,31 +103,30 @@ def merkle_root(
     L, N = leaves.shape
     if N & (N - 1):
         raise ValueError("leaf count must be a power of two")
-
-    on_tpu = jax.default_backend() == "tpu"
-
-    def level_compress(l, r):
-        n = l.shape[-1]
-        if n > chunk and n % chunk == 0:
-            outs = [
-                compress_pairs(
-                    cfg, l[..., i : i + chunk], r[..., i : i + chunk], backend
-                )
-                for i in range(0, n, chunk)
-            ]
-            return jnp.concatenate(outs, axis=-1)
-        if on_tpu and n < chunk:
-            pad = chunk - n
-            lp = jnp.pad(l, [(0, 0), (0, pad)])
-            rp = jnp.pad(r, [(0, 0), (0, pad)])
-            return compress_pairs(cfg, lp, rp, backend)[..., :n]
-        return compress_pairs(cfg, l, r, backend)
-
     level = leaves
     while level.shape[-1] > 1:
         pairs = level.reshape(L, level.shape[-1] // 2, 2)
-        level = level_compress(pairs[..., 0], pairs[..., 1])
+        level = _level_compress(cfg, pairs[..., 0], pairs[..., 1], backend, chunk)
     return level[:, 0]
+
+
+def _level_compress(cfg, l, r, backend, chunk):
+    """One tree level through a constant set of compiled kernel shapes: wide
+    levels are sliced into ``chunk`` pieces, narrow levels (on TPU) are padded
+    up to one chunk (padding lanes compute a valid all-zero compression)."""
+    n = l.shape[-1]
+    if n > chunk and n % chunk == 0:
+        outs = [
+            compress_pairs(cfg, l[..., i : i + chunk], r[..., i : i + chunk], backend)
+            for i in range(0, n, chunk)
+        ]
+        return jnp.concatenate(outs, axis=-1)
+    if n < chunk and jax.default_backend() == "tpu":
+        pad = chunk - n
+        lp = jnp.pad(l, [(0, 0), (0, pad)])
+        rp = jnp.pad(r, [(0, 0), (0, pad)])
+        return compress_pairs(cfg, lp, rp, backend)[..., :n]
+    return compress_pairs(cfg, l, r, backend)
 
 
 def merkle_tree(
@@ -145,7 +144,9 @@ def merkle_tree(
     while levels[-1].shape[-1] > 1:
         cur = levels[-1]
         pairs = cur.reshape(L, cur.shape[-1] // 2, 2)
-        levels.append(compress_pairs(cfg, pairs[..., 0], pairs[..., 1], backend))
+        levels.append(
+            _level_compress(cfg, pairs[..., 0], pairs[..., 1], backend, chunk)
+        )
     return levels
 
 
@@ -154,6 +155,9 @@ def merkle_open(levels: list, index: int) -> list:
 
     Returns ``[(L,) sibling at depth 0, ..., (L,) sibling below the root]``.
     """
+    n = levels[0].shape[-1]
+    if not 0 <= index < n:
+        raise IndexError(f"leaf index {index} out of range for {n} leaves")
     path = []
     for level in levels[:-1]:
         path.append(level[:, index ^ 1])
@@ -177,6 +181,8 @@ def merkle_verify(
     """
     import numpy as np
 
+    if not 0 <= index < (1 << len(path)):
+        raise IndexError(f"leaf index {index} out of range for path depth {len(path)}")
     fs = cfg.field
     cur = leaf[:, None]
     for sibling in path:

@@ -8,7 +8,7 @@ VPU work over arrays of shape ``(..., L, B)``:
 * limb axis (``L = fs.nlimbs``, 12-bit limbs) sits on TPU sublanes,
 * batch axis ``B`` sits on lanes, so one instruction advances 128+ sponges at once.
 
-Design invariant (proved statically in ``fields._mod_bounds_ok``): all limbs are kept
+Design invariant (enforced in ``FieldSpec.__post_init__``): all limbs are kept
 ``<= 2**12`` (redundant form), so schoolbook partial products are ``<= 2**24`` and all
 column accumulations incl. Montgomery reduction stay ``< 2**31`` — plain int32, no
 hi/lo splitting, wrap-around free.  Values are only canonicalized (unique repr < p)

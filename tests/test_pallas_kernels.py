@@ -125,3 +125,78 @@ def test_fused_kernel_interpret_matches_oracle():
         o.permute()
         got = [fs.mont_limbs_to_int(out[i][:, b]) for i in range(cfg.t)]
         assert got == o.state
+
+
+class _FakeRef:
+    """Minimal pl.Ref stand-in: lets the exact kernel function body run outside
+    Pallas (jnp arrays support the same indexing; fori_loop dynamic indexing on
+    arrays works on CPU).  Covers all kernel-side plumbing — SMEM constant
+    layout/indexing, pack/unpack, phase boundaries — except Mosaic lowering."""
+
+    def __init__(self, arr):
+        self.arr = jnp.asarray(arr)
+
+    def __getitem__(self, idx):
+        return self.arr[idx]
+
+    def __setitem__(self, idx, value):
+        self.arr = self.arr.at[idx].set(value)
+
+
+@pytest.mark.skipif(
+    not __import__("os").environ.get("SPONGE_TPU_SLOW_TESTS"),
+    reason="XLA-CPU compile of the unrolled kernel body takes ~30 min; "
+    "set SPONGE_TPU_SLOW_TESTS=1 to run (the kernel is also cross-checked "
+    "against the oracle on TPU hardware by bench/full_bench.py)",
+)
+@pytest.mark.parametrize("optimized", [False, True], ids=["dense", "sparse-opt"])
+def test_cios_kernel_body_end_to_end(optimized):
+    """Run _permute_kernel itself (mock refs, CPU) against the oracle."""
+    from sponge_tpu.ops import pallas_cios as pc
+
+    fs = BLS12_381_FR
+    cfg = get_default_poseidon_parameters(fs, 2, False)
+    L, t = fs.nlimbs, cfg.t
+    B = 256  # 2 sublanes x 128 lanes
+    vals = [rand_ints(fs, B) for _ in range(t)]
+    st4 = jnp.asarray(
+        np.stack([fs.ints_to_mont_plane(row) for row in vals], axis=0)
+    ).reshape(t, L, B // 128, 128)
+
+    ark_np = np.stack(
+        [np.concatenate([fs.int_to_mont_limbs(c) for c in row]) for row in cfg.ark]
+    ).astype(np.int32)
+    if optimized:
+        from sponge_tpu.poseidon.optimized import optimized_partial_layers
+
+        layers = optimized_partial_layers(cfg)
+        popt_np = np.stack(
+            [
+                np.concatenate(
+                    [fs.int_to_mont_limbs(v) for v in c]
+                    + [fs.int_to_mont_limbs(v) for v in sp.row0]
+                    + [fs.int_to_mont_limbs(v) for v in sp.col0]
+                )
+                for c, sp in zip(layers.constants, layers.sparse)
+            ]
+        ).astype(np.int32)
+    else:
+        popt_np = np.zeros((1, 1), dtype=np.int32)
+
+    @jax.jit
+    def run(ark, popt, st):
+        out_ref = _FakeRef(jnp.zeros_like(st))
+        pc._permute_kernel(
+            _FakeRef(ark), _FakeRef(popt), _FakeRef(st), out_ref,
+            cfg=cfg, optimized=optimized,
+        )
+        return out_ref.arr
+
+    out = np.asarray(run(ark_np, popt_np, st4)).reshape(t, L, B)
+
+    for b in range(0, B, 85):
+        o = OraclePoseidonSponge(cfg)
+        o.state = [vals[i][b] for i in range(t)]
+        o.permute()
+        got = [fs.mont_limbs_to_int(out[i][:, b]) for i in range(t)]
+        assert got == o.state, (optimized, b)
