@@ -145,9 +145,12 @@ class _FakeRef:
 
 @pytest.mark.skipif(
     not __import__("os").environ.get("SPONGE_TPU_SLOW_TESTS"),
-    reason="XLA-CPU compile of the unrolled kernel body takes ~30 min; "
-    "set SPONGE_TPU_SLOW_TESTS=1 to run (the kernel is also cross-checked "
-    "against the oracle on TPU hardware by bench/full_bench.py)",
+    reason="XLA-CPU compile of the unrolled kernel body is impractically slow "
+    "(observed > 3 h in this environment); set SPONGE_TPU_SLOW_TESTS=1 to "
+    "attempt it.  The kernel body's math and constant plumbing are covered "
+    "piecewise by the helper tests above + tests/test_optimized.py, and the "
+    "compiled kernel is cross-checked against the oracle on TPU hardware "
+    "(bench/full_bench.py parity row).",
 )
 @pytest.mark.parametrize("optimized", [False, True], ids=["dense", "sparse-opt"])
 def test_cios_kernel_body_end_to_end(optimized):
