@@ -6,6 +6,14 @@ The baseline denominator is the BASELINE.json north-star target normalized to a
 single chip: 2^24 perms/s on a v5e-16 slice -> 2^20 = 1,048,576 perms/s/chip.
 ``vs_baseline`` > 1.0 beats the per-chip target.
 
+Correctness gate: on TPU, before any timing is reported, BOTH compiled Pallas
+tiers (the unrolled-CIOS fast kernel and the vectorized fused kernel) are run on
+random field elements and decoded lane-by-lane against the scalar python-int
+oracle (OraclePoseidonSponge.permute, itself pinned to the reference golden
+vectors).  A mismatch raises and the bench emits NO number — the throughput
+figure therefore implies Mosaic-lowered kernel parity, not just helper-level
+unit-test parity.
+
 Timing notes: through the experimental axon tunnel ``block_until_ready`` does not
 reliably block, so completion is forced by fetching a result slice to host; the
 transfer cost is amortized over many chained kernel executions.
@@ -14,11 +22,84 @@ transfer cost is amortized over many chained kernel executions.
 from __future__ import annotations
 
 import json
+import sys
 import time
 
 import numpy as np
 
 PER_CHIP_TARGET = float(1 << 20)  # 2^24 / 16 chips (BASELINE.json north star)
+
+# Lanes carrying random (non-zero) states at the head of the bench batch; the
+# parity gate oracle-checks a sample of them.
+PARITY_LANES = 2048
+PARITY_SAMPLE = 64
+
+
+def _random_state_ints(cfg, lanes, seed=20240817):
+    rng = np.random.default_rng(seed)
+    p = cfg.field.modulus
+    # 4 x 64-bit draws per element, reduced mod p: full-range residues.
+    raw = rng.integers(0, 1 << 62, size=(cfg.t, lanes, 4), dtype=np.int64)
+    vals = [
+        [
+            (int(a) | int(b) << 62 | int(c) << 124 | int(d) << 186) % p
+            for a, b, c, d in row
+        ]
+        for row in raw
+    ]
+    return vals  # [t][lanes] python ints
+
+
+def _oracle_permuted(cfg, vals, lane):
+    from sponge_tpu.poseidon.oracle import OraclePoseidonSponge
+
+    o = OraclePoseidonSponge(cfg)
+    o.state = [vals[i][lane] for i in range(cfg.t)]
+    o.permute()
+    return o.state
+
+
+def _check_lanes(cfg, vals, out_plane, lanes, tier):
+    """Decode ``lanes`` of an output (t, L, B) plane and compare vs oracle."""
+    fs = cfg.field
+    sub = np.asarray(out_plane[:, :, lanes])  # (t, L, k)
+    decoded = [fs.mont_plane_to_ints(sub[i]) for i in range(cfg.t)]
+    for k, lane in enumerate(lanes):
+        want = _oracle_permuted(cfg, vals, lane)
+        got = [decoded[i][k] for i in range(cfg.t)]
+        if got != want:
+            raise RuntimeError(
+                f"PARITY FAILURE in {tier} kernel at lane {lane}: "
+                f"got {got} want {want} — refusing to report a benchmark number"
+            )
+
+
+def parity_gate(cfg, state_with_random_head, vals):
+    """On-device parity of both compiled kernels vs the scalar oracle.
+
+    Returns the permuted bench state (so the warm-up work is reused by timing).
+    """
+    from sponge_tpu.poseidon.permutation import batched_permute
+
+    sample = np.linspace(0, PARITY_LANES - 1, PARITY_SAMPLE).astype(int).tolist()
+
+    # Tier 1: the auto-dispatched fast kernel at the bench shape (CIOS for t<=4).
+    out = batched_permute(cfg, state_with_random_head)
+    _check_lanes(cfg, vals, out, sample, "cios/auto")
+
+    # Tier 2: the vectorized fused kernel at its own tile size.
+    from sponge_tpu.ops.pallas_permute import DEFAULT_TILE
+
+    pv = [row[:DEFAULT_TILE] for row in vals]
+    pstate = np.stack(
+        [cfg.field.ints_to_mont_plane(row) for row in pv], axis=0
+    ).astype(np.int32)
+    pout = batched_permute(cfg, pstate, backend="pallas")
+    psample = np.linspace(0, DEFAULT_TILE - 1, PARITY_SAMPLE).astype(int).tolist()
+    _check_lanes(cfg, pv, pout, psample, "pallas-vectorized")
+
+    print("parity gate: cios + pallas kernels match oracle", file=sys.stderr)
+    return out
 
 
 def measure_perms_per_sec(log_batch: int = 20, reps: int = 8) -> float:
@@ -39,9 +120,23 @@ def measure_perms_per_sec(log_batch: int = 20, reps: int = 8) -> float:
     B = 1 << log_batch
     state = zero_state(cfg, B)
 
-    # Warm-up: compile + one execution, forced to completion via host fetch.
-    out = batched_permute(cfg, state)
-    _ = np.asarray(out[0, 0, :4])
+    on_tpu = jax.default_backend() == "tpu"
+    if on_tpu:
+        # Random states in the head lanes; the parity gate oracle-checks them.
+        vals = _random_state_ints(cfg, PARITY_LANES)
+        head = np.stack(
+            [cfg.field.ints_to_mont_plane(row) for row in vals], axis=0
+        ).astype(np.int32)
+        state_np = np.zeros((cfg.t, cfg.field.nlimbs, B), dtype=np.int32)
+        state_np[:, :, :PARITY_LANES] = head
+        state = jax.numpy.asarray(state_np)
+        out = parity_gate(cfg, state, vals)
+        _ = np.asarray(out[0, 0, :4])
+    else:
+        # CPU fallback (no Mosaic): warm-up only; the number is not a TPU figure.
+        print("parity gate skipped: not on TPU (XLA tier only)", file=sys.stderr)
+        out = batched_permute(cfg, state)
+        _ = np.asarray(out[0, 0, :4])
 
     t0 = time.time()
     for _ in range(reps):

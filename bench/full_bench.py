@@ -44,6 +44,28 @@ def bench_parity():
             "value": "bit-exact" if out == golden else "MISMATCH", "unit": ""}
 
 
+def bench_kernel_parity():
+    """Random-state parity of BOTH compiled Pallas kernels vs the scalar oracle
+    (the same gate bench.py applies before reporting its number)."""
+    import bench as root_bench
+    from sponge_tpu import BLS12_381_FR, get_default_poseidon_parameters
+
+    if jax.default_backend() != "tpu":
+        return {"name": "compiled-kernel random-state parity vs oracle",
+                "value": "skipped (not on TPU; XLA tier covered by tests/)",
+                "unit": ""}
+    cfg = get_default_poseidon_parameters(BLS12_381_FR, 2, False)
+    lanes = root_bench.PARITY_LANES
+    vals = root_bench._random_state_ints(cfg, lanes)
+    state = np.stack(
+        [cfg.field.ints_to_mont_plane(row) for row in vals], axis=0
+    ).astype(np.int32)
+    root_bench.parity_gate(cfg, jnp.asarray(state), vals)  # raises on mismatch
+    return {"name": "compiled-kernel random-state parity vs oracle "
+            f"(cios + pallas, {root_bench.PARITY_SAMPLE} lanes each)",
+            "value": "bit-exact", "unit": ""}
+
+
 def bench_batched_permutation(log_batch=20, reps=6):
     """Config 3: batched permutation throughput, 2^20 states per chip."""
     from sponge_tpu import BLS12_381_FR, get_default_poseidon_parameters
@@ -158,6 +180,7 @@ def main():
 
     rows = []
     rows.append(bench_parity())
+    rows.append(bench_kernel_parity())
     rows.append(bench_batched_permutation(14 if args.quick else 20))
     rows.append(bench_bn254(12 if args.quick else 17))
     rows.append(bench_merkle(14 if args.quick else 24))

@@ -42,6 +42,8 @@ from .poseidon.oracle import (
     OraclePoseidonSponge,
     SpongeState,
     Truncated,
+    field_element_size_num_bits,
+    field_element_size_sum,
 )
 from .poseidon.params import (
     find_poseidon_ark_and_mds,
@@ -74,6 +76,8 @@ __all__ = [
     "SpongeState",
     "FULL",
     "Truncated",
+    "field_element_size_num_bits",
+    "field_element_size_sum",
     "Fp",
     "U8",
     "U16",

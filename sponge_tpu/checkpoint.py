@@ -15,6 +15,7 @@ config identity are recorded and validated on load.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import pathlib
 from typing import Optional
@@ -28,6 +29,18 @@ from .sponge import PoseidonSponge
 
 
 def _cfg_fingerprint(cfg: PoseidonConfig) -> str:
+    # The ark/mds tables enter as a sha256 over their full canonical
+    # serialization — two user configs sharing geometry but differing anywhere
+    # in the tables must NOT validate against each other's checkpoints.
+    tables = hashlib.sha256(
+        json.dumps(
+            {
+                "modulus": str(cfg.field.modulus),
+                "ark": [[str(v) for v in row] for row in cfg.ark],
+                "mds": [[str(v) for v in row] for row in cfg.mds],
+            }
+        ).encode()
+    ).hexdigest()
     return json.dumps(
         {
             "field": cfg.field.name,
@@ -36,8 +49,7 @@ def _cfg_fingerprint(cfg: PoseidonConfig) -> str:
             "alpha": cfg.alpha,
             "full_rounds": cfg.full_rounds,
             "partial_rounds": cfg.partial_rounds,
-            "ark00": str(cfg.ark[0][0]),
-            "mds00": str(cfg.mds[0][0]),
+            "tables_sha256": tables,
         }
     )
 
@@ -48,13 +60,17 @@ def save_sponge(path, sponge: PoseidonSponge) -> None:
     rows = np.asarray(
         [[str(v) for v in row] for row in state.state], dtype=object
     )
+    # Unicode width sized from the field: values are < p, so the decimal digit
+    # count of the modulus bounds every entry (a fixed "U100" would silently
+    # truncate >332-bit custom fields).
+    width = len(str(sponge.cfg.field.modulus))
     np.savez(
         path,
         kind="sponge",
         config=_cfg_fingerprint(sponge.cfg),
         mode=state.mode,
         index=state.index,
-        values=rows.astype("U100"),
+        values=rows.astype(f"U{width}"),
     )
 
 

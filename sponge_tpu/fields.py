@@ -42,7 +42,13 @@ class FieldSpec:
     nlimbs: int = field(init=False)
 
     def __post_init__(self):
-        nlimbs = -(-max(self.modulus.bit_length() + 1, 256) // self.limb_bits)
+        # R = 2^(limb_bits*nlimbs) must exceed every redundant in-kernel value:
+        # the lazy-MDS column sums are bounded by ~4.2p (see pallas_cios), so we
+        # size for >= 16p of headroom (modulus bits + 4).  For the two shipped
+        # 255/254-bit fields this lands on the same 22-limb layout the native
+        # codec and all frozen vectors assume; small *test* fields (used to run
+        # the unrolled kernel bodies cheaply in CI) get proportionally few limbs.
+        nlimbs = -(-(self.modulus.bit_length() + 4) // self.limb_bits)
         object.__setattr__(self, "nlimbs", nlimbs)
         # int32 no-overflow proof obligation for the kernel tiers (see module
         # doc): one schoolbook column plus the Montgomery-reduction additions

@@ -165,6 +165,78 @@ def merkle_open(levels: list, index: int) -> list:
     return path
 
 
+def merkle_open_batch(levels: list, indices) -> jnp.ndarray:
+    """Authentication paths for a *batch* of leaf indices, in one device program.
+
+    ``levels`` as returned by ``merkle_tree``; ``indices`` an int sequence or
+    (K,) array.  Returns a ``(depth, L, K)`` plane of sibling columns
+    (path[d][:, k] = sibling of lane k at depth d) — one fused gather chain
+    instead of ``depth`` host-loop reads per proof.
+    """
+    import numpy as np
+
+    n = levels[0].shape[-1]
+    idx_np = np.asarray(indices, dtype=np.int64)
+    if idx_np.size and (idx_np.min() < 0 or idx_np.max() >= n):
+        raise IndexError(f"leaf index out of range for {n} leaves")
+
+    @jax.jit
+    def gather(levels_t, idx):
+        sibs = []
+        for level in levels_t:
+            sibs.append(jnp.take(level, idx ^ 1, axis=1))
+            idx = idx >> 1
+        return jnp.stack(sibs, axis=0)
+
+    return gather(tuple(levels[:-1]), jnp.asarray(idx_np, dtype=jnp.int32))
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "backend"))
+def _verify_batch_device(cfg, root, leaves, paths, indices, backend):
+    fs = cfg.field
+    cur = leaves  # (L, K) Montgomery
+    idx = indices
+    for d in range(paths.shape[0]):
+        sib = paths[d]
+        is_left = (idx & 1)[None, :] == 0  # lane is the left child
+        l = jnp.where(is_left, cur, sib)
+        r = jnp.where(is_left, sib, cur)
+        cur = compress_pairs(cfg, l, r, backend)
+        idx = idx >> 1
+    # Canonical comparison (redundant-limb representations of equal values
+    # compare equal after from_mont's canonicalization).
+    got = mont.from_mont(fs, cur)
+    want = mont.from_mont(fs, root[:, None])
+    return jnp.all(got == want, axis=0)
+
+
+def merkle_verify_batch(
+    cfg: PoseidonConfig,
+    root: jnp.ndarray,
+    leaves: jnp.ndarray,
+    paths: jnp.ndarray,
+    indices,
+    backend: str = "auto",
+) -> jnp.ndarray:
+    """Verify K proofs in ONE fused device program (depth batched compressions).
+
+    ``root``: (L,); ``leaves``: (L, K) Montgomery columns; ``paths``:
+    (depth, L, K) as from ``merkle_open_batch``; ``indices``: (K,) ints.
+    Returns a (K,) bool array.  Replaces the one-dispatch-per-level pattern:
+    a 2^24-leaf proof batch costs 24 batched permutations total, not 24*K
+    single-lane calls.
+    """
+    import numpy as np
+
+    depth = paths.shape[0]
+    idx_np = np.asarray(indices, dtype=np.int64)
+    if idx_np.size and (idx_np.min() < 0 or idx_np.max() >= (1 << depth)):
+        raise IndexError(f"leaf index out of range for path depth {depth}")
+    return _verify_batch_device(
+        cfg, root, leaves, paths, jnp.asarray(idx_np, dtype=jnp.int32), backend
+    )
+
+
 def merkle_verify(
     cfg: PoseidonConfig,
     root: jnp.ndarray,
@@ -173,23 +245,24 @@ def merkle_verify(
     index: int,
     backend: str = "auto",
 ) -> bool:
-    """Recompute the root from a leaf + authentication path and compare.
+    """Recompute the root from one leaf + authentication path and compare.
 
     ``root``/``leaf``/path entries are (L,) Montgomery limb columns (as produced
-    by merkle_tree/merkle_open).  Comparison is on canonical values, so
-    redundant-limb representations of equal field elements compare equal.
+    by merkle_tree/merkle_open).  Single-proof convenience wrapper over
+    ``merkle_verify_batch`` — one fused device program, not one dispatch per
+    tree level.
     """
     import numpy as np
 
     if not 0 <= index < (1 << len(path)):
         raise IndexError(f"leaf index {index} out of range for path depth {len(path)}")
-    fs = cfg.field
-    cur = leaf[:, None]
-    for sibling in path:
-        sib = sibling[:, None]
-        l, r = (cur, sib) if index % 2 == 0 else (sib, cur)
-        cur = compress_pairs(cfg, l, r, backend="xla" if backend == "auto" else backend)
-        index >>= 1
-    got = fs.mont_limbs_to_int(np.asarray(cur[:, 0]))
-    want = fs.mont_limbs_to_int(np.asarray(root))
-    return got == want
+    paths = jnp.stack([s[:, None] for s in path], axis=0)  # (depth, L, 1)
+    out = merkle_verify_batch(
+        cfg,
+        root,
+        leaf[:, None],
+        paths,
+        [index],
+        backend="xla" if backend == "auto" else backend,
+    )
+    return bool(np.asarray(out)[0])

@@ -2,7 +2,7 @@
 
 from .mesh import DATA_AXIS, batch_sharding, leaf_sharding, make_mesh, replicated
 from .merkle import sharded_merkle_root
-from .sharded import sharded_permute_fn, sharded_state
+from .sharded import sharded_permute_fn, sharded_state, sharded_transcript_fn
 
 __all__ = [
     "DATA_AXIS",
@@ -13,4 +13,5 @@ __all__ = [
     "sharded_merkle_root",
     "sharded_permute_fn",
     "sharded_state",
+    "sharded_transcript_fn",
 ]

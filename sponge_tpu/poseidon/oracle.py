@@ -45,6 +45,12 @@ def field_element_size_num_bits(size, fs: FieldSpec) -> int:
     return fs.modulus_bit_size - 1
 
 
+def field_element_size_sum(sizes, fs: FieldSpec) -> int:
+    """``FieldElementSize::sum`` (/root/reference/src/lib.rs:54-58): total bits
+    contributed by a size list (each size yields ``num_bits`` — see quirk above)."""
+    return sum(field_element_size_num_bits(s, fs) for s in sizes)
+
+
 def bits_le_to_bytes(bits) -> bytes:
     """LE bit chunks -> bytes, as in the nonnative squeeze (lib.rs:83-94)."""
     out = bytearray()

@@ -7,10 +7,17 @@ operator-overloaded tracer field.
 """
 
 from .absorb_gadget import (
+    OptionVar,
     SWPointVar,
     TEPointVar,
     bytes_to_field_elements_gadget,
+    to_sponge_bytes_gadget,
     to_sponge_field_elements_gadget,
+)
+from .nonnative import (
+    NonNativeFieldParams,
+    get_limbs_representations,
+    get_params,
 )
 from .r1cs import Boolean, ConstraintSystem, FpVar, LinearCombination, UInt8
 from .sponge_var import (
@@ -33,9 +40,14 @@ def gadget_of(sponge_cls):
 
 
 __all__ = [
+    "OptionVar",
     "SWPointVar",
     "TEPointVar",
     "gadget_of",
+    "NonNativeFieldParams",
+    "get_limbs_representations",
+    "get_params",
+    "to_sponge_bytes_gadget",
     "Boolean",
     "ConstraintSystem",
     "FpVar",

@@ -1,10 +1,20 @@
 """AbsorbGadget: the in-circuit Absorb codec over tracer variables.
 
-Mirror of /root/reference/src/constraints/absorb.rs: every circuit type converts
-into a list of ``FpVar`` (field-element wire format).  Byte batches are
-length-prefixed with a *constant* length (legitimately constant: circuit shape is
-static, absorb.rs:63-69) and packed through the same 31-byte chunking as the
-native ``ToConstraintField`` — here as linear combinations over the byte bits.
+Mirror of /root/reference/src/constraints/absorb.rs in BOTH wire formats:
+
+* field-element mode (``to_sponge_field_elements``, absorb.rs:38-52): every
+  circuit type converts into a list of ``FpVar``.  Byte batches are
+  length-prefixed with a *constant* length (legitimately constant: circuit
+  shape is static, absorb.rs:63-69) and packed through the same 31-byte
+  chunking as the native ``ToConstraintField`` — here as linear combinations
+  over the byte bits;
+* byte mode (``to_sponge_bytes``, absorb.rs:21-35): every type converts into a
+  list of ``UInt8``.  Batches concatenate with NO length prefix
+  (batch_to_sponge_bytes default, absorb.rs:26-35), matching the native byte
+  wire format; ``FpVar`` contributes its full LE byte decomposition
+  (``to_bytes``, absorb.rs:83-85), ``Boolean`` one byte (absorb.rs:75-77),
+  curve points the bytes of their coordinate field elements
+  (absorb.rs:104-112).
 """
 
 from __future__ import annotations
@@ -66,6 +76,18 @@ def bytes_to_field_elements_gadget(
     return out
 
 
+@dataclass
+class OptionVar:
+    """``Option<A>`` gadget (constraints/absorb.rs:169-187): the is_some flag
+    enters as a *constant* Boolean (circuit shape is static)."""
+
+    value: object = None  # None == Option::None; anything else == Some(value)
+
+    @property
+    def is_some(self) -> bool:
+        return self.value is not None
+
+
 def to_sponge_field_elements_gadget(x, cs: ConstraintSystem, fs: FieldSpec) -> List[FpVar]:
     """Dispatch mirroring the AbsorbGadget impls (constraints/absorb.rs:54-196)."""
     if isinstance(x, FpVar):
@@ -76,6 +98,12 @@ def to_sponge_field_elements_gadget(x, cs: ConstraintSystem, fs: FieldSpec) -> L
         return bytes_to_field_elements_gadget([x], cs, fs)
     if isinstance(x, (TEPointVar, SWPointVar)):
         return x.to_field_elements()
+    if isinstance(x, OptionVar):
+        # constant flag FpVar + payload (absorb.rs:179-187)
+        out = [FpVar.constant(int(x.is_some), fs)]
+        if x.is_some:
+            out.extend(to_sponge_field_elements_gadget(x.value, cs, fs))
+        return out
     if isinstance(x, list):
         if x and all(isinstance(e, UInt8) for e in x):
             # u8 batch: constant u64 LE length prefix + packing (absorb.rs:63-69).
@@ -88,3 +116,37 @@ def to_sponge_field_elements_gadget(x, cs: ConstraintSystem, fs: FieldSpec) -> L
             out.extend(to_sponge_field_elements_gadget(e, cs, fs))
         return out
     raise TypeError(f"not gadget-absorbable: {type(x)!r}")
+
+
+def to_sponge_bytes_gadget(x, cs: ConstraintSystem, fs: FieldSpec) -> List[UInt8]:
+    """Byte-mode dispatch mirroring ``AbsorbGadget::to_sponge_bytes`` /
+    ``batch_to_sponge_bytes`` (constraints/absorb.rs:21-35, impls :54-196)."""
+    if isinstance(x, UInt8):
+        return [x]  # absorb.rs:56-58
+    if isinstance(x, Boolean):
+        # Boolean::to_bytes(): one byte, bit 0 = self (absorb.rs:75-77).
+        return [UInt8([x] + [Boolean.constant(False, fs) for _ in range(7)])]
+    if isinstance(x, FpVar):
+        return x.to_bytes()  # FpVar::to_bytes(), absorb.rs:83-85
+    if isinstance(x, (TEPointVar, SWPointVar)):
+        # to_constraint_field() then per-element to_sponge_bytes
+        # (absorb.rs:104-112 via impl_absorbable_group).
+        out: List[UInt8] = []
+        for e in x.to_field_elements():
+            out.extend(to_sponge_bytes_gadget(e, cs, fs))
+        return out
+    if isinstance(x, OptionVar):
+        # constant flag byte + payload bytes (absorb.rs:170-177).
+        out = to_sponge_bytes_gadget(Boolean.constant(x.is_some, fs), cs, fs)
+        if x.is_some:
+            out.extend(to_sponge_bytes_gadget(x.value, cs, fs))
+        return out
+    if isinstance(x, list):
+        # batch_to_sponge_bytes default: plain concat, NO length prefix
+        # (absorb.rs:26-35; u8 batches match the native extend_from_slice,
+        # absorb.rs native :131-133).
+        out = []
+        for e in x:
+            out.extend(to_sponge_bytes_gadget(e, cs, fs))
+        return out
+    raise TypeError(f"not gadget-absorbable (byte mode): {type(x)!r}")

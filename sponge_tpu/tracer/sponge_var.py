@@ -29,44 +29,71 @@ def bits_le_to_nonnative(
     cs: ConstraintSystem,
     all_bits: Sequence[Sequence[Boolean]],
     target_fs: FieldSpec,
-    bits_per_limb: int = 64,
+    optimization_type: str = "constraints",
 ) -> List[List[FpVar]]:
     """Pack little-endian bit vectors into nonnative limb variables.
 
-    Analogue of /root/reference/src/constraints/mod.rs:19-89: each target element
-    is represented as big-endian limbs of ``bits_per_limb`` bits over the native
-    field; limb values are linear combinations of the bits (weights = powers of
-    two reduced into limb positions), allocated as witnesses and tied by one
-    enforcement per limb.  The simplified limb geometry (fixed 64-bit limbs
-    instead of ark's optimization-dependent ``get_params``) preserves the
-    capability: committed limbs + bits with LC consistency.
+    Mirror of /root/reference/src/constraints/mod.rs:19-89 with ark-r1cs-std's
+    limb geometry: limb count/size come from ``get_params(F, CF,
+    OptimizationType)`` (tracer.nonnative), the per-bit weights come from a
+    ``get_limbs_representations(2^j mod F)`` lookup table, limbs are emitted
+    **big-endian** (most significant first), and each limb is allocated as a
+    witness tied to its bit LC by one enforcement — so both the limb layout and
+    the constraint count (num_limbs witnesses + num_limbs enforcements per
+    element) match the reference.
     """
-    out = []
+    from .nonnative import get_limbs_representations, get_params
+
+    all_bits = list(all_bits)
+    if not all_bits:
+        return []
     p = cs.fs.modulus
+    params = get_params(
+        target_fs.modulus_bit_size, cs.fs.modulus_bit_size, optimization_type
+    )
+
+    # Lookup table: limb representation of 2^j *in the target field* (mod.rs:33-42
+    # doubles an F element, so powers wrap mod the target modulus).
+    max_bits = max(len(bits) for bits in all_bits)
+    lookup = []
+    cur = 1
+    for _ in range(max_bits):
+        lookup.append(
+            get_limbs_representations(
+                cur, target_fs.modulus_bit_size, cs.fs.modulus_bit_size,
+                optimization_type,
+            )
+        )
+        cur = (cur * 2) % target_fs.modulus
+
+    out = []
     for bits in all_bits:
-        nbits = len(bits)
-        num_limbs = -(-nbits // bits_per_limb)
+        vals = [0] * params.num_limbs
+        lcs = [LinearCombination() for _ in range(params.num_limbs)]
+        for j, b in enumerate(bits):
+            rep = lookup[j]
+            if b.value:
+                for k in range(params.num_limbs):
+                    vals[k] += rep[k]
+            for k in range(params.num_limbs):
+                lcs[k] = lcs[k].plus(b.var.lc.scaled(rep[k] % p, p), p)
         limbs: List[FpVar] = []
-        # limb k (little-endian limb order) covers bits [k*bpl, (k+1)*bpl)
-        for k in range(num_limbs):
-            window = bits[k * bits_per_limb : (k + 1) * bits_per_limb]
-            val = sum(int(b.value) << i for i, b in enumerate(window))
-            lc = LinearCombination()
-            for i, b in enumerate(window):
-                lc = lc.plus(b.var.lc.scaled(pow(2, i, p), p), p)
-            gadget = FpVar.new_witness(cs, val)
-            diff = lc.plus(gadget.lc.scaled(p - 1, p), p)
+        for k in range(params.num_limbs):
+            gadget = FpVar.new_witness(cs, vals[k])
+            diff = lcs[k].plus(gadget.lc.scaled(p - 1, p), p)
             cs.enforce(LinearCombination(), LinearCombination(), diff)
             limbs.append(gadget)
         out.append(limbs)
     return out
 
 
-def nonnative_limbs_value(limbs: List[FpVar], bits_per_limb: int, target_fs: FieldSpec) -> int:
-    """Recombine limb witnesses into the target-field value (test helper)."""
+def nonnative_limbs_value(
+    limbs: List[FpVar], bits_per_limb: int, target_fs: FieldSpec
+) -> int:
+    """Recombine **big-endian** limb witnesses into the target-field value."""
     acc = 0
-    for k, limb in enumerate(limbs):
-        acc += limb.value << (k * bits_per_limb)
+    for limb in limbs:
+        acc = (acc << bits_per_limb) + limb.value
     return acc % target_fs.modulus
 
 
@@ -211,7 +238,7 @@ class PoseidonSpongeVar:
         return out[:num_bytes]
 
     def squeeze_nonnative_field_elements_with_sizes(
-        self, target_fs: FieldSpec, sizes, bits_per_limb: int = 64
+        self, target_fs: FieldSpec, sizes, optimization_type: str = "constraints"
     ) -> Tuple[List[List[FpVar]], List[List[Boolean]]]:
         """constraints/mod.rs:122-153: returns (limb gadgets, raw bit vectors)."""
         if len(sizes) == 0:
@@ -223,7 +250,9 @@ class PoseidonSpongeVar:
         for n in per:
             dest_bits.append(bits[pos : pos + n])
             pos += n
-        gadgets = bits_le_to_nonnative(self.cs, dest_bits, target_fs, bits_per_limb)
+        gadgets = bits_le_to_nonnative(
+            self.cs, dest_bits, target_fs, optimization_type
+        )
         return gadgets, dest_bits
 
     def squeeze_nonnative_field_elements(self, target_fs: FieldSpec, num: int):

@@ -155,9 +155,18 @@ def compile_transcript(
     ``(total_squeezed, L, B)`` canonical output plane.
     """
     steps = tuple(steps)
+    total_absorbed, _ = transcript_shape(steps)
 
     @jax.jit
     def run(elems):
+        # Static trace-time shape check: jnp slicing clamps out-of-range
+        # slices, so an undersized plane would otherwise silently absorb fewer
+        # elements than the schedule specifies and diverge from the oracle.
+        if elems.shape[0] != total_absorbed:
+            raise ValueError(
+                f"transcript input plane has {elems.shape[0]} element rows; "
+                f"the schedule absorbs {total_absorbed}"
+            )
         return _replay(cfg, steps, elems, backend)
 
     return run

@@ -26,3 +26,49 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_compilation_cache_dir", "/tmp/sponge_tpu_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 jax.config.update("jax_persistent_cache_enable_xla_caches", "all")
+
+import numpy as _np  # noqa: E402
+
+from sponge_tpu.fields import FieldSpec  # noqa: E402
+from sponge_tpu.poseidon.config import PoseidonConfig  # noqa: E402
+
+# Tiny test field (~35-bit prime, 4 limbs instead of 22).  Exists so the fully
+# unrolled CIOS kernel *body* — whose XLA-CPU compile at L=22 takes hours — can
+# be executed end-to-end in default CI in seconds (trace size scales ~L^2).
+# No cryptographic significance; parity-critical semantics are still exercised
+# (same round schedule, same CIOS/REDC/sparse-opt code paths).
+TINY_FR = FieldSpec(name="tiny_fr_35", modulus=(1 << 35) - 31, generator=3)
+
+
+def tiny_poseidon_config(
+    t: int = 3,
+    full_rounds: int = 4,
+    partial_rounds: int = 3,
+    alpha: int = 5,
+    seed: int = 7,
+) -> PoseidonConfig:
+    """Deterministic small Poseidon config over TINY_FR.
+
+    ark/mds are seeded-random residues (mds invertibility holds for this seed —
+    asserted by the sparse-opt factorization itself); the matrix need not be MDS
+    for kernel-parity tests.
+    """
+    rng = _np.random.default_rng(seed)
+    p = TINY_FR.modulus
+    rounds = full_rounds + partial_rounds
+
+    def draw():
+        return int(rng.integers(0, 1 << 62)) % p
+
+    ark = tuple(tuple(draw() for _ in range(t)) for _ in range(rounds))
+    mds = tuple(tuple(draw() for _ in range(t)) for _ in range(t))
+    return PoseidonConfig(
+        field=TINY_FR,
+        full_rounds=full_rounds,
+        partial_rounds=partial_rounds,
+        alpha=alpha,
+        ark=ark,
+        mds=mds,
+        rate=t - 1,
+        capacity=1,
+    )

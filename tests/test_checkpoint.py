@@ -64,3 +64,39 @@ def test_merkle_level_checkpoint_resume(tmp_path):
     assert FR.mont_limbs_to_int(np.asarray(resumed_root)) == FR.mont_limbs_to_int(
         np.asarray(full_root)
     )
+
+
+def test_sponge_checkpoint_table_tamper_detected(tmp_path):
+    """Configs sharing geometry but differing anywhere in ark/mds must not
+    validate against each other's checkpoints (full-table fingerprint)."""
+    s = PoseidonSponge(CFG, batch_size=1)
+    s.absorb([Fp(1, FR)])
+    path = tmp_path / "sponge.npz"
+    save_sponge(path, s)
+    ark = [list(row) for row in CFG.ark]
+    ark[-1][-1] = (ark[-1][-1] + 1) % FR.modulus  # NOT the sampled corner
+    tampered = type(CFG)(
+        field=CFG.field,
+        full_rounds=CFG.full_rounds,
+        partial_rounds=CFG.partial_rounds,
+        alpha=CFG.alpha,
+        ark=tuple(tuple(r) for r in ark),
+        mds=CFG.mds,
+        rate=CFG.rate,
+        capacity=CFG.capacity,
+    )
+    with pytest.raises(ValueError):
+        load_sponge(path, tampered)
+
+
+def test_sponge_checkpoint_wide_value_no_truncation(tmp_path):
+    """Decimal width is sized from the modulus (77 digits here) — a state value
+    longer than the old fixed U100... is impossible for shipped fields, so
+    instead assert the stored width covers the modulus exactly."""
+    s = PoseidonSponge(CFG, batch_size=1)
+    big = FR.modulus - 1  # 77 decimal digits
+    s.absorb([Fp(big, FR)])
+    path = tmp_path / "sponge.npz"
+    save_sponge(path, s)
+    resumed = load_sponge(path, CFG)
+    assert resumed.into_state().state == s.into_state().state

@@ -158,3 +158,59 @@ def test_hash_elements_long_squeeze():
         want = o.squeeze_native_field_elements(5)
         got = [FR.mont_limbs_to_int(out[j, :, b]) for j in range(5)]
         assert got == want
+
+
+def test_merkle_open_verify_batch():
+    """Batched open/verify in one fused program each == scalar path helpers,
+    with tamper and wrong-index rejection."""
+    from sponge_tpu.hash import (
+        merkle_open,
+        merkle_open_batch,
+        merkle_tree,
+        merkle_verify,
+        merkle_verify_batch,
+    )
+
+    N = 64
+    vals = rand_fr(N)
+    leaves = jnp.asarray(FR.ints_to_mont_plane(vals))
+    levels = merkle_tree(CFG, leaves)
+    root = levels[-1][:, 0]
+
+    indices = [0, 1, 5, 31, 32, 62, 63]
+    paths = merkle_open_batch(levels, indices)
+    assert paths.shape == (6, FR.nlimbs, len(indices))
+
+    # Batch gather == scalar opens.
+    for k, idx in enumerate(indices):
+        scalar_path = merkle_open(levels, idx)
+        for d in range(6):
+            assert np.array_equal(np.asarray(paths[d, :, k]), np.asarray(scalar_path[d]))
+
+    batch_leaves = jnp.take(leaves, jnp.asarray(indices), axis=1)
+    ok = np.asarray(merkle_verify_batch(CFG, root, batch_leaves, paths, indices))
+    assert ok.tolist() == [True] * len(indices)
+
+    # Tampered sibling at one lane fails only that lane.
+    bad = np.asarray(paths).copy()
+    bad[2, 0, 3] = (bad[2, 0, 3] + 1) % (1 << 12)
+    ok = np.asarray(
+        merkle_verify_batch(CFG, root, batch_leaves, jnp.asarray(bad), indices)
+    )
+    assert ok.tolist() == [True, True, True, False, True, True, True]
+
+    # Wrong index (direction flip) fails.
+    wrong = list(indices)
+    wrong[0] = 1
+    ok = np.asarray(merkle_verify_batch(CFG, root, batch_leaves, paths, wrong))
+    assert not ok[0]
+
+    # Out-of-range index raises.
+    with pytest.raises(IndexError):
+        merkle_open_batch(levels, [N])
+    with pytest.raises(IndexError):
+        merkle_verify_batch(CFG, root, batch_leaves, paths, [1 << 6])
+
+    # Scalar wrapper (one fused program) still agrees.
+    assert merkle_verify(CFG, root, leaves[:, 5], merkle_open(levels, 5), 5)
+    assert not merkle_verify(CFG, root, leaves[:, 5], merkle_open(levels, 5), 4)

@@ -2,8 +2,14 @@
 
 The CIOS kernel's arithmetic helpers are pure jnp over limb lists, so they are
 unit-tested directly on CPU (no Pallas lowering needed); the readable fused
-kernel is run through the Pallas interpreter.  Full on-TPU runs of both kernels
-are exercised by bench.py and were cross-checked against the oracle on hardware.
+kernel is run through the Pallas interpreter; and the exact `_permute_kernel`
+body (incl. the sparse-opt partial phase and SMEM constant indexing) runs
+end-to-end in CI over the tiny 35-bit test field (conftest.TINY_FR), where the
+unrolled trace compiles in seconds instead of hours.
+
+Mosaic lowering of the compiled kernels cannot be exercised on CPU; on real TPU
+hardware it is gated by bench.py's parity check, which refuses to report a
+number unless both compiled kernels reproduce the oracle on random states.
 """
 
 import numpy as np
@@ -143,24 +149,12 @@ class _FakeRef:
         self.arr = self.arr.at[idx].set(value)
 
 
-@pytest.mark.skipif(
-    not __import__("os").environ.get("SPONGE_TPU_SLOW_TESTS"),
-    reason="XLA-CPU compile of the unrolled kernel body is impractically slow "
-    "(observed > 3 h in this environment); set SPONGE_TPU_SLOW_TESTS=1 to "
-    "attempt it.  The kernel body's math and constant plumbing are covered "
-    "piecewise by the helper tests above + tests/test_optimized.py, and the "
-    "compiled kernel is cross-checked against the oracle on TPU hardware "
-    "(bench/full_bench.py parity row).",
-)
-@pytest.mark.parametrize("optimized", [False, True], ids=["dense", "sparse-opt"])
-def test_cios_kernel_body_end_to_end(optimized):
+def _run_cios_kernel_body(cfg, optimized, B=256, stride=85):
     """Run _permute_kernel itself (mock refs, CPU) against the oracle."""
     from sponge_tpu.ops import pallas_cios as pc
 
-    fs = BLS12_381_FR
-    cfg = get_default_poseidon_parameters(fs, 2, False)
+    fs = cfg.field
     L, t = fs.nlimbs, cfg.t
-    B = 256  # 2 sublanes x 128 lanes
     vals = [rand_ints(fs, B) for _ in range(t)]
     st4 = jnp.asarray(
         np.stack([fs.ints_to_mont_plane(row) for row in vals], axis=0)
@@ -197,9 +191,41 @@ def test_cios_kernel_body_end_to_end(optimized):
 
     out = np.asarray(run(ark_np, popt_np, st4)).reshape(t, L, B)
 
-    for b in range(0, B, 85):
+    for b in range(0, B, stride):
         o = OraclePoseidonSponge(cfg)
         o.state = [vals[i][b] for i in range(t)]
         o.permute()
         got = [fs.mont_limbs_to_int(out[i][:, b]) for i in range(t)]
         assert got == o.state, (optimized, b)
+
+
+@pytest.mark.parametrize("optimized", [False, True], ids=["dense", "sparse-opt"])
+def test_cios_kernel_body_tiny_field(optimized):
+    """Always-on CI run of the exact kernel body (dense + sparse-opt phases)
+    over the tiny 35-bit field, where the unrolled trace compiles in seconds."""
+    from conftest import tiny_poseidon_config
+
+    _run_cios_kernel_body(tiny_poseidon_config(), optimized, stride=31)
+
+
+@pytest.mark.parametrize("optimized", [False, True], ids=["dense", "sparse-opt"])
+def test_cios_kernel_body_tiny_field_alpha17(optimized):
+    """Same, with the production S-box exponent and a longer partial chain."""
+    from conftest import tiny_poseidon_config
+
+    cfg = tiny_poseidon_config(full_rounds=8, partial_rounds=8, alpha=17, seed=11)
+    _run_cios_kernel_body(cfg, optimized, stride=31)
+
+
+@pytest.mark.skipif(
+    not __import__("os").environ.get("SPONGE_TPU_SLOW_TESTS"),
+    reason="XLA-CPU compile of the unrolled kernel body at L=22 is impractically "
+    "slow (observed > 3 h in this environment); set SPONGE_TPU_SLOW_TESTS=1 to "
+    "attempt it.  The same kernel body runs in default CI over the tiny field "
+    "(tests above), and on TPU the compiled kernel is parity-gated by bench.py "
+    "before any benchmark number is reported.",
+)
+@pytest.mark.parametrize("optimized", [False, True], ids=["dense", "sparse-opt"])
+def test_cios_kernel_body_end_to_end(optimized):
+    cfg = get_default_poseidon_parameters(BLS12_381_FR, 2, False)
+    _run_cios_kernel_body(cfg, optimized)

@@ -83,3 +83,14 @@ def test_point_gadget_matches_native_codec():
     )
     gadget = to_sponge_field_elements_gadget(var, cs, FR)
     assert [g.value for g in gadget] == native
+
+
+def test_field_element_size_sum():
+    """FieldElementSize::sum (lib.rs:54-58): every size contributes num_bits
+    (= MODULUS_BIT_SIZE - 1, incl. the Truncated quirk)."""
+    from sponge_tpu import BLS12_381_FR, FULL, Truncated, field_element_size_sum
+
+    per = BLS12_381_FR.modulus_bit_size - 1
+    assert field_element_size_sum([FULL] * 3, BLS12_381_FR) == 3 * per
+    assert field_element_size_sum([FULL, Truncated(100)], BLS12_381_FR) == 2 * per
+    assert field_element_size_sum([], BLS12_381_FR) == 0

@@ -9,15 +9,18 @@ ark-relations.
 import numpy as np
 
 from sponge_tpu import BLS12_381_FR, BN254_FR, get_default_poseidon_parameters
-from sponge_tpu.absorb import Fp, U8, to_sponge_field_elements
+from sponge_tpu.absorb import Fp, Some, NONE, U8, to_sponge_bytes, to_sponge_field_elements
 from sponge_tpu.poseidon.oracle import FULL, OraclePoseidonSponge
 from sponge_tpu.tracer import (
     Boolean,
     ConstraintSystem,
     FpVar,
+    OptionVar,
     PoseidonSpongeVar,
     UInt8,
+    get_params,
     nonnative_limbs_value,
+    to_sponge_bytes_gadget,
     to_sponge_field_elements_gadget,
 )
 
@@ -103,7 +106,8 @@ def test_squeeze_bits_bytes_match_native():
 
 def test_nonnative_squeeze_limbs():
     """Nonnative squeeze returns (limbs, bits) whose recombination equals the
-    native nonnative squeeze (constraints/mod.rs:122-153 capability)."""
+    native nonnative squeeze (constraints/mod.rs:122-153), with ark's
+    get_params-derived limb geometry and big-endian limb order."""
     vals = rand_fr(2)
     cs = ConstraintSystem(FR)
     var_sponge = PoseidonSpongeVar(cs, CFG)
@@ -114,10 +118,80 @@ def test_nonnative_squeeze_limbs():
     native.absorb_field_elements(vals)
     want = native.squeeze_field_elements(BN254_FR, 2)
 
-    got = [nonnative_limbs_value(limbs, 64, BN254_FR) for limbs in gadgets]
+    params = get_params(BN254_FR.modulus_bit_size, FR.modulus_bit_size)
+    got = [
+        nonnative_limbs_value(limbs, params.bits_per_limb, BN254_FR)
+        for limbs in gadgets
+    ]
     assert got == want
     assert cs.is_satisfied()
     assert all(len(bv) == BN254_FR.modulus_bit_size - 1 for bv in bit_vecs)
+
+
+def test_nonnative_limb_geometry_matches_ark():
+    """Limb counts/sizes follow ark-r1cs-std get_params (constraints/mod.rs:44-48):
+    pinned values for the (254-bit BN254 over 255-bit BLS) pair, limb values in
+    range, and exactly num_limbs witnesses + num_limbs enforcements per element."""
+    params = get_params(BN254_FR.modulus_bit_size, FR.modulus_bit_size, "constraints")
+    assert (params.num_limbs, params.bits_per_limb) == (17, 15)
+    wparams = get_params(BN254_FR.modulus_bit_size, FR.modulus_bit_size, "weight")
+    assert (wparams.num_limbs, wparams.bits_per_limb) == (6, 43)
+
+    cs = ConstraintSystem(FR)
+    var_sponge = PoseidonSpongeVar(cs, CFG)
+    var_sponge.absorb([FpVar.new_witness(cs, v) for v in rand_fr(1)])
+    # Consume the squeeze, then measure ONLY the limb-packing accounting.
+    per = BN254_FR.modulus_bit_size - 1
+    bits = var_sponge.squeeze_bits(2 * per)
+    from sponge_tpu.tracer import bits_le_to_nonnative
+
+    base_w, base_c = cs.num_witness_variables, cs.num_constraints
+    gadgets = bits_le_to_nonnative(cs, [bits[:per], bits[per:]], BN254_FR)
+    assert cs.num_witness_variables - base_w == 2 * params.num_limbs
+    assert cs.num_constraints - base_c == 2 * params.num_limbs
+    for limbs in gadgets:
+        assert len(limbs) == params.num_limbs
+        # Big-endian: every limb holds < 2^bits_per_limb (canonical windows).
+        assert all(l.value < (1 << params.bits_per_limb) for l in limbs)
+    assert cs.is_satisfied()
+
+
+def test_gadget_byte_encoding_matches_native():
+    """Gadget byte-mode == native byte codec (constraints/absorb.rs:239-265):
+    u8 batches (no length prefix) and field elements (full LE bytes)."""
+    cs = ConstraintSystem(FR)
+    data = bytes([0, 1, 2, 3, 4, 5])
+    gadget = [UInt8.constant(b, FR) for b in data]
+    got = bytes(b.value for b in to_sponge_bytes_gadget(gadget, cs, FR))
+    assert got == to_sponge_bytes(data)
+
+    vals = rand_fr(10)
+    fp_vars = [FpVar.new_witness(cs, v) for v in vals]
+    got = bytes(b.value for b in to_sponge_bytes_gadget(fp_vars, cs, FR))
+    assert got == to_sponge_bytes([Fp(v, FR) for v in vals])
+    assert cs.is_satisfied()
+
+    # Boolean: single byte (absorb.rs:75-77).
+    assert [b.value for b in to_sponge_bytes_gadget(Boolean.constant(True, FR), cs, FR)] == [1]
+
+
+def test_gadget_option_matches_native():
+    """OptionVar in both wire formats vs the native Some/NONE codec
+    (constraints/absorb.rs:169-187 vs absorb.rs:288-302)."""
+    x = rand_fr(1)[0]
+    cs = ConstraintSystem(FR)
+    some = OptionVar(FpVar.new_witness(cs, x))
+    none = OptionVar(None)
+
+    got_elems = [e.value for e in to_sponge_field_elements_gadget(some, cs, FR)]
+    assert got_elems == to_sponge_field_elements(Some(Fp(x, FR)), FR)
+    got_elems = [e.value for e in to_sponge_field_elements_gadget(none, cs, FR)]
+    assert got_elems == to_sponge_field_elements(NONE, FR)
+
+    got_bytes = bytes(b.value for b in to_sponge_bytes_gadget(some, cs, FR))
+    assert got_bytes == to_sponge_bytes(Some(Fp(x, FR)))
+    got_bytes = bytes(b.value for b in to_sponge_bytes_gadget(none, cs, FR))
+    assert got_bytes == to_sponge_bytes(NONE)
 
 
 def test_fork_matches_native():

@@ -51,3 +51,13 @@ def test_compiled_transcript_matches_oracle(schedule):
                 want.extend(o.squeeze_native_field_elements(step.num_elements))
         got = [FR.limbs_to_int(out[i, :, b]) for i in range(total_q)]
         assert got == want, b
+
+
+def test_compiled_transcript_rejects_undersized_plane():
+    """jnp slicing clamps silently; the executor must instead validate the
+    static input shape against the schedule's absorbed total."""
+    schedule = [Absorb(3), SqueezeNative(1)]
+    fn = compile_transcript(CFG, schedule)
+    elems = jnp.asarray(np.zeros((2, FR.nlimbs, 4), dtype=np.int32))
+    with pytest.raises(ValueError, match="absorbs 3"):
+        fn(elems)
