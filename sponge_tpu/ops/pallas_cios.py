@@ -86,8 +86,8 @@ def _redc(L, cols, p_limbs, n0inv):
     return _norm1(res)
 
 
-def _cios_mul(L, a, b, p_limbs, n0inv):
-    """Montgomery product of two limb lists (schoolbook + interleaved REDC)."""
+def _mul_cols(L, a, b):
+    """Schoolbook columns of a*b (2L redundant columns, top column zero)."""
     cols = [None] * (2 * L)
     for j in range(L):
         bj = b[j]
@@ -95,7 +95,12 @@ def _cios_mul(L, a, b, p_limbs, n0inv):
             term = a[i] * bj
             cols[i + j] = term if cols[i + j] is None else cols[i + j] + term
     cols[2 * L - 1] = jnp.zeros_like(a[0])  # i+j <= 2L-2: top column is empty
-    return _redc(L, cols, p_limbs, n0inv)
+    return cols
+
+
+def _cios_mul(L, a, b, p_limbs, n0inv):
+    """Montgomery product of two limb lists (schoolbook + interleaved REDC)."""
+    return _redc(L, _mul_cols(L, a, b), p_limbs, n0inv)
 
 
 def _cios_mul_const(L, a, b_ints, p_limbs, n0inv):
@@ -114,9 +119,9 @@ def _cios_mul_const(L, a, b_ints, p_limbs, n0inv):
     return _redc(L, cols, p_limbs, n0inv)
 
 
-def _cios_sqr(L, a, p_limbs, n0inv):
-    """Montgomery square, exploiting product symmetry: a_i*a_j (i<j) counted
-    once against a pre-doubled operand — ~L^2/2 multiplies instead of L^2.
+def _sqr_cols(L, a):
+    """Schoolbook columns of a^2, exploiting product symmetry: a_i*a_j (i<j)
+    counted once against a pre-doubled operand — ~L^2/2 multiplies.
 
     Bounds: doubled limbs <= 2^13, so off-diagonal products are <= 2^25 with
     <= ceil(L/2) addends per column plus the diagonal and REDC terms — still
@@ -135,7 +140,80 @@ def _cios_sqr(L, a, p_limbs, n0inv):
             k = i + j
             cols[k] = term if cols[k] is None else cols[k] + term
     cols[2 * L - 1] = jnp.zeros_like(a[0])
-    return _redc(L, cols, p_limbs, n0inv)
+    return cols
+
+
+def _cios_sqr(L, a, p_limbs, n0inv):
+    """Montgomery square via the symmetric column builder + interleaved REDC."""
+    return _redc(L, _sqr_cols(L, a), p_limbs, n0inv)
+
+
+# ---------------------------------------------------------------------------
+# Software-pipelined (chain-interleaved) variants.
+#
+# A single REDC is an inherently serial base-2^12 carry chain: L dependent
+# steps, each a handful of VPU ops.  One Poseidon round, however, contains
+# several REDCs with NO data dependence between them (the t S-box chains of a
+# full round; the t MDS output rows; the sparse-matrix products of an
+# optimized partial round).  The *_multi functions below emit those
+# independent chains with their steps interleaved in trace order, so an
+# in-order scheduler overlaps chain k's carry latency with chain k±1's work —
+# trace-level software pipelining.  The arithmetic is identical to the scalar
+# versions (same columns, same reductions); only emission order differs.
+# ---------------------------------------------------------------------------
+
+
+def _norm1_multi(limbs_list):
+    """_norm1 over several limb lists with interleaved carry steps."""
+    n = len(limbs_list)
+    L = len(limbs_list[0])
+    outs = [[] for _ in range(n)]
+    carries = [None] * n
+    for k in range(L):
+        for e in range(n):
+            v = limbs_list[e][k]
+            if carries[e] is not None:
+                v = v + carries[e]
+            outs[e].append(v & LIMB_MASK)
+            carries[e] = v >> LIMB_BITS
+    return outs
+
+
+def _redc_multi(L, cols_list, p_limbs, n0inv):
+    """_redc over several independent column lists, steps interleaved."""
+    n = len(cols_list)
+    cs = [None] * n
+    for i in range(L):
+        for e in range(n):
+            cols = cols_list[e]
+            v = cols[i] if cs[e] is None else cols[i] + cs[e]
+            u = (v * n0inv) & LIMB_MASK
+            w = v + u * p_limbs[0]
+            cs[e] = w >> LIMB_BITS
+            for k in range(1, L):
+                pk = p_limbs[k]
+                if pk:
+                    cols[i + k] = cols[i + k] + u * pk
+    res_list = []
+    for e in range(n):
+        res = list(cols_list[e][L : 2 * L])
+        res[0] = res[0] + cs[e]
+        res_list.append(res)
+    return _norm1_multi(res_list)
+
+
+def _pow_alpha_multi(L, xs, alpha, p_limbs, n0inv):
+    """x^alpha for several independent elements, square/multiply steps emitted
+    in lockstep so the per-step REDC chains interleave."""
+    bits = bin(alpha)[2:]
+    accs = list(xs)
+    for bit in bits[1:]:
+        accs = _redc_multi(L, [_sqr_cols(L, a) for a in accs], p_limbs, n0inv)
+        if bit == "1":
+            accs = _redc_multi(
+                L, [_mul_cols(L, a, x) for a, x in zip(accs, xs)], p_limbs, n0inv
+            )
+    return accs
 
 
 def _pow_alpha(L, x, alpha, p_limbs, n0inv):
@@ -219,7 +297,73 @@ def _mds_apply(L, t, elems, mds_ints, p_limbs, n0inv):
     return out
 
 
-def _permute_kernel(ark_ref, popt_ref, state_ref, out_ref, *, cfg, optimized):
+def _mds_apply_multi(L, t, elems, mds_ints, p_limbs, n0inv):
+    """_mds_apply with the t output-row REDC chains interleaved."""
+    cols_list = []
+    for i in range(t):
+        cols = [None] * (2 * L)
+        for j in range(t):
+            ej = elems[j]
+            cij = mds_ints[i][j]
+            for l2 in range(L):
+                c = cij[l2]
+                if c == 0:
+                    continue
+                for l1 in range(L):
+                    term = ej[l1] * c
+                    k = l1 + l2
+                    cols[k] = term if cols[k] is None else cols[k] + term
+        for k in range(2 * L):
+            if cols[k] is None:
+                cols[k] = jnp.zeros_like(elems[0][0])
+        cols_list.append(cols)
+    return _redc_multi(L, cols_list, p_limbs, n0inv)
+
+
+def _sparse_apply_multi(L, t, elems, row0, col0, p_limbs, n0inv):
+    """_sparse_apply with the row0-dot REDC and the t-1 column-product REDCs
+    interleaved (they are mutually independent)."""
+    cols_list = []
+    # out0 = <row0, elems> (lazy column accumulation, same bound as dense MDS).
+    cols = [None] * (2 * L)
+    for e in range(t):
+        xe = elems[e]
+        re = row0[e]
+        for l2 in range(L):
+            c = re[l2]
+            for l1 in range(L):
+                term = xe[l1] * c
+                k = l1 + l2
+                cols[k] = term if cols[k] is None else cols[k] + term
+    for k in range(2 * L):
+        if cols[k] is None:
+            cols[k] = jnp.zeros_like(elems[0][0])
+    cols_list.append(cols)
+    # col0[i-1] * x0 products.
+    x0 = elems[0]
+    for i in range(1, t):
+        ci = col0[i - 1]
+        cols = [None] * (2 * L)
+        for l2 in range(L):
+            c = ci[l2]
+            for l1 in range(L):
+                term = x0[l1] * c
+                k = l1 + l2
+                cols[k] = term if cols[k] is None else cols[k] + term
+        for k in range(2 * L):
+            if cols[k] is None:
+                cols[k] = jnp.zeros_like(x0[0])
+        cols_list.append(cols)
+    reduced = _redc_multi(L, cols_list, p_limbs, n0inv)
+    out = [reduced[0]]
+    for i in range(1, t):
+        out.append([a + b for a, b in zip(reduced[i], elems[i])])  # limbs <= 2^13
+    return out
+
+
+def _permute_kernel(
+    ark_ref, popt_ref, state_ref, out_ref, *, cfg, optimized, pipelined=False
+):
     fs = cfg.field
     L = fs.nlimbs
     t = cfg.t
@@ -238,19 +382,28 @@ def _permute_kernel(ark_ref, popt_ref, state_ref, out_ref, *, cfg, optimized):
     def pack(elems):
         return jnp.stack([jnp.stack(e) for e in elems])
 
+    def ark_norm(elems, r, ref=None):
+        """ARK add (SMEM scalars indexed by round) + renorm so every multiplier
+        input is canonical; chain-interleaved when pipelined."""
+        ref = ark_ref if ref is None else ref
+        added = [
+            [elems[e][l] + ref[r, e * L + l] for l in range(L)] for e in range(t)
+        ]
+        if pipelined:
+            return _norm1_multi(added)
+        return [_norm1(row) for row in added]
+
     def round_body(r, st4, full: bool):
-        elems = unpack(st4)
-        # ARK (additive round keys, SMEM scalars indexed by round) + renorm so
-        # every multiplier input is canonical.
-        for e in range(t):
-            elems[e] = _norm1(
-                [elems[e][l] + ark_ref[r, e * L + l] for l in range(L)]
-            )
+        elems = ark_norm(unpack(st4), r)
         if full:
-            elems = [_pow_alpha(L, x, cfg.alpha, p_limbs, n0inv) for x in elems]
+            if pipelined:
+                elems = _pow_alpha_multi(L, elems, cfg.alpha, p_limbs, n0inv)
+            else:
+                elems = [_pow_alpha(L, x, cfg.alpha, p_limbs, n0inv) for x in elems]
         else:
             elems[0] = _pow_alpha(L, elems[0], cfg.alpha, p_limbs, n0inv)
-        return pack(_mds_apply(L, t, elems, mds_ints, p_limbs, n0inv))
+        mds = _mds_apply_multi if pipelined else _mds_apply
+        return pack(mds(L, t, elems, mds_ints, p_limbs, n0inv))
 
     half = cfg.full_rounds // 2
     st4 = state_ref[:]
@@ -275,22 +428,14 @@ def _permute_kernel(ark_ref, popt_ref, state_ref, out_ref, *, cfg, optimized):
         )
 
         # First partial round: original ark row (index half), sbox0 only.
-        elems = unpack(st4)
-        for e in range(t):
-            elems[e] = _norm1(
-                [elems[e][l] + ark_ref[half, e * L + l] for l in range(L)]
-            )
+        elems = ark_norm(unpack(st4), half)
         elems[0] = _pow_alpha(L, elems[0], cfg.alpha, p_limbs, n0inv)
         st4 = pack(elems)
 
         def opt_body(r, s4):
-            els = unpack(s4)
             # x += č_r, renormalize (also re-canonicalizes the 2^13-limb
             # carries left by the previous sparse apply).
-            for e in range(t):
-                els[e] = _norm1(
-                    [els[e][l] + popt_ref[r, e * L + l] for l in range(L)]
-                )
+            els = ark_norm(unpack(s4), r, ref=popt_ref)
             row0 = [
                 [popt_ref[r, (t + e) * L + l] for l in range(L)] for e in range(t)
             ]
@@ -298,7 +443,8 @@ def _permute_kernel(ark_ref, popt_ref, state_ref, out_ref, *, cfg, optimized):
                 [popt_ref[r, (2 * t + i) * L + l] for l in range(L)]
                 for i in range(t - 1)
             ]
-            els = _sparse_apply(L, t, els, row0, col0, p_limbs, n0inv)
+            sparse = _sparse_apply_multi if pipelined else _sparse_apply
+            els = sparse(L, t, els, row0, col0, p_limbs, n0inv)
             els[0] = _pow_alpha(L, els[0], cfg.alpha, p_limbs, n0inv)
             return pack(els)
 
@@ -307,8 +453,10 @@ def _permute_kernel(ark_ref, popt_ref, state_ref, out_ref, *, cfg, optimized):
         # Final accumulated dense matrix D (inputs renormalized first: the last
         # sparse apply leaves 2^13 limbs, and the dense column bound needs
         # canonical inputs).
-        elems = [_norm1(limbs) for limbs in unpack(st4)]
-        st4 = pack(_mds_apply(L, t, elems, d_ints, p_limbs, n0inv))
+        up = unpack(st4)
+        elems = _norm1_multi(up) if pipelined else [_norm1(limbs) for limbs in up]
+        mds = _mds_apply_multi if pipelined else _mds_apply
+        st4 = pack(mds(L, t, elems, d_ints, p_limbs, n0inv))
 
     st4 = jax.lax.fori_loop(
         half + cfg.partial_rounds, cfg.rounds, lambda r, s: round_body(r, s, True), st4
@@ -322,6 +470,7 @@ def cios_permute_fn(
     interpret: bool = False,
     sublanes: int = SUBLANES,
     optimized: bool = True,
+    pipelined: bool = False,
 ):
     """Jitted CIOS permutation: (t, L, B) -> (t, L, B), B % (sublanes*128) == 0."""
     fs = cfg.field
@@ -361,7 +510,9 @@ def cios_permute_fn(
     else:
         popt_np = np.zeros((1, 1), dtype=np.int32)
 
-    kernel = functools.partial(_permute_kernel, cfg=cfg, optimized=optimized)
+    kernel = functools.partial(
+        _permute_kernel, cfg=cfg, optimized=optimized, pipelined=pipelined
+    )
 
     @jax.jit
     def run(state):

@@ -31,7 +31,6 @@ from .poseidon.oracle import (
     FULL,
     SpongeState,
     Truncated,
-    bits_le_to_bytes,
     field_element_size_num_bits,
 )
 from .poseidon.permutation import zero_state
@@ -221,33 +220,50 @@ class PoseidonSponge:
         """Lane-major ints [B][num] (FieldBasedCryptographicSponge, mod.rs:321-341)."""
         return decode_canonical_plane(self.cfg.field, self.squeeze_native_plane(num))
 
-    def squeeze_bytes(self, num_bytes: int) -> list:
-        """[B] byte strings; low usable bytes of each element (mod.rs:256-270)."""
+    def squeeze_bytes_plane(self, num_bytes: int) -> np.ndarray:
+        """(B, num_bytes) uint8 array; low usable bytes of each element
+        (mod.rs:256-270), extracted from the canonical limb plane with
+        vectorized numpy (no per-lane python bigint loops — at B = 2^17 the
+        per-lane path is ~1000x slower)."""
         fs = self.cfg.field
         usable = (fs.modulus_bit_size - 1) // 8
         num_elements = -(-num_bytes // usable)
-        lanes = self.squeeze_native_field_elements(num_elements)
-        out = []
-        for lane in lanes:
-            buf = bytearray()
-            for e in lane:
-                buf.extend(fs.to_bytes_le(e)[:usable])
-            out.append(bytes(buf[:num_bytes]))
-        return out
+        plane = np.asarray(self.squeeze_native_plane(num_elements))  # (k, L, B)
+        lb = fs.limb_bits
+        j = np.arange(usable)
+        l = (8 * j) // lb
+        o = (8 * j) % lb
+        # Byte j spans at most two adjacent limbs (8 < limb_bits).
+        lo = plane[:, l, :] >> o[None, :, None]
+        hi_l = np.minimum(l + 1, fs.nlimbs - 1)
+        hi_valid = (l + 1 < fs.nlimbs)[None, :, None]
+        hi = np.where(hi_valid, plane[:, hi_l, :], 0) << (lb - o)[None, :, None]
+        byts = ((lo | hi) & 0xFF).astype(np.uint8)  # (k, usable, B)
+        k, _, B = byts.shape
+        return byts.transpose(2, 0, 1).reshape(B, k * usable)[:, :num_bytes]
 
-    def squeeze_bits(self, num_bits: int) -> list:
-        """[B] bool lists; low usable bits of each element (mod.rs:272-286)."""
+    def squeeze_bytes(self, num_bytes: int) -> list:
+        """[B] byte strings; low usable bytes of each element (mod.rs:256-270)."""
+        grid = self.squeeze_bytes_plane(num_bytes)
+        return [grid[b].tobytes() for b in range(grid.shape[0])]
+
+    def squeeze_bits_plane(self, num_bits: int) -> np.ndarray:
+        """(B, num_bits) bool array; low usable LE bits of each element
+        (mod.rs:272-286), vectorized like ``squeeze_bytes_plane``."""
         fs = self.cfg.field
         usable = fs.modulus_bit_size - 1
         num_elements = -(-num_bits // usable)
-        lanes = self.squeeze_native_field_elements(num_elements)
-        out = []
-        for lane in lanes:
-            bits = []
-            for e in lane:
-                bits.extend(((e >> i) & 1) == 1 for i in range(usable))
-            out.append(bits[:num_bits])
-        return out
+        plane = np.asarray(self.squeeze_native_plane(num_elements))  # (k, L, B)
+        lb = fs.limb_bits
+        i = np.arange(usable)
+        bits = (plane[:, i // lb, :] >> (i % lb)[None, :, None]) & 1  # (k, usable, B)
+        k, _, B = bits.shape
+        return bits.transpose(2, 0, 1).reshape(B, k * usable)[:, :num_bits].astype(bool)
+
+    def squeeze_bits(self, num_bits: int) -> list:
+        """[B] bool lists; low usable bits of each element (mod.rs:272-286)."""
+        grid = self.squeeze_bits_plane(num_bits)
+        return [[bool(v) for v in grid[b]] for b in range(grid.shape[0])]
 
     def squeeze_field_elements_with_sizes(self, target_fs: FieldSpec, sizes) -> list:
         """[B][len(sizes)] ints in ``target_fs`` (mod.rs:288-304)."""
@@ -270,20 +286,23 @@ class PoseidonSponge:
         return self._squeeze_nonnative_default(self.cfg.field, sizes)
 
     def _squeeze_nonnative_default(self, target_fs: FieldSpec, sizes) -> list:
-        """lib.rs:61-100 (num_bits measured against the target field)."""
+        """lib.rs:61-100 (num_bits measured against the target field).
+
+        Bit extraction and LE byte packing are vectorized across lanes
+        (np.packbits over the bit plane); only the final modular reduction is a
+        per-output bigint op."""
         if len(sizes) == 0:
             return [[] for _ in range(self.batch_size)]
         per = [field_element_size_num_bits(s, target_fs) for s in sizes]
-        lanes_bits = self.squeeze_bits(sum(per))
+        grid = self.squeeze_bits_plane(sum(per))  # (B, total_bits)
         out = []
-        for bits in lanes_bits:
+        for b in range(grid.shape[0]):
             lane, pos = [], 0
             for n in per:
-                window = bits[pos : pos + n]
+                window = grid[b, pos : pos + n]
                 pos += n
-                lane.append(
-                    target_fs.from_le_bytes_mod_order(bits_le_to_bytes(window))
-                )
+                packed = np.packbits(window, bitorder="little").tobytes()
+                lane.append(target_fs.from_le_bytes_mod_order(packed))
             out.append(lane)
         return out
 

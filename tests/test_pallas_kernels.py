@@ -149,7 +149,7 @@ class _FakeRef:
         self.arr = self.arr.at[idx].set(value)
 
 
-def _run_cios_kernel_body(cfg, optimized, B=256, stride=85):
+def _run_cios_kernel_body(cfg, optimized, B=256, stride=85, pipelined=False):
     """Run _permute_kernel itself (mock refs, CPU) against the oracle."""
     from sponge_tpu.ops import pallas_cios as pc
 
@@ -185,7 +185,7 @@ def _run_cios_kernel_body(cfg, optimized, B=256, stride=85):
         out_ref = _FakeRef(jnp.zeros_like(st))
         pc._permute_kernel(
             _FakeRef(ark), _FakeRef(popt), _FakeRef(st), out_ref,
-            cfg=cfg, optimized=optimized,
+            cfg=cfg, optimized=optimized, pipelined=pipelined,
         )
         return out_ref.arr
 
@@ -199,22 +199,27 @@ def _run_cios_kernel_body(cfg, optimized, B=256, stride=85):
         assert got == o.state, (optimized, b)
 
 
+@pytest.mark.parametrize("pipelined", [False, True], ids=["serial", "pipelined"])
 @pytest.mark.parametrize("optimized", [False, True], ids=["dense", "sparse-opt"])
-def test_cios_kernel_body_tiny_field(optimized):
-    """Always-on CI run of the exact kernel body (dense + sparse-opt phases)
-    over the tiny 35-bit field, where the unrolled trace compiles in seconds."""
+def test_cios_kernel_body_tiny_field(optimized, pipelined):
+    """Always-on CI run of the exact kernel body (dense + sparse-opt phases,
+    serial + chain-interleaved emission) over the tiny 35-bit field, where the
+    unrolled trace compiles in seconds."""
     from conftest import tiny_poseidon_config
 
-    _run_cios_kernel_body(tiny_poseidon_config(), optimized, stride=31)
+    _run_cios_kernel_body(
+        tiny_poseidon_config(), optimized, stride=31, pipelined=pipelined
+    )
 
 
+@pytest.mark.parametrize("pipelined", [False, True], ids=["serial", "pipelined"])
 @pytest.mark.parametrize("optimized", [False, True], ids=["dense", "sparse-opt"])
-def test_cios_kernel_body_tiny_field_alpha17(optimized):
+def test_cios_kernel_body_tiny_field_alpha17(optimized, pipelined):
     """Same, with the production S-box exponent and a longer partial chain."""
     from conftest import tiny_poseidon_config
 
     cfg = tiny_poseidon_config(full_rounds=8, partial_rounds=8, alpha=17, seed=11)
-    _run_cios_kernel_body(cfg, optimized, stride=31)
+    _run_cios_kernel_body(cfg, optimized, stride=31, pipelined=pipelined)
 
 
 @pytest.mark.skipif(
