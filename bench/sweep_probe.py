@@ -6,8 +6,8 @@ latency-bound: interleaving two independent chains ran 1.75x faster): the
 pressure; smaller tiles cut the live set per chain.  Each variant is
 parity-checked on random states before timing.
 
-Run: python bench/sweep_probe.py [pipelined:sublanes ...]
-  e.g. python bench/sweep_probe.py 1:8 0:8 1:16
+Run: python bench/sweep_probe.py [pipelined:sublanes[:lane_streams] ...]
+  e.g. python bench/sweep_probe.py 1:8 0:8 0:16:2
 """
 
 from __future__ import annotations
@@ -27,8 +27,8 @@ import jax.numpy as jnp
 
 def main():
     variants = [
-        tuple(int(x) for x in a.split(":")) for a in sys.argv[1:]
-    ] or [(1, 8), (0, 8)]
+        (tuple(int(x) for x in a.split(":")) + (1,))[:3] for a in sys.argv[1:]
+    ] or [(1, 8, 1), (0, 8, 1)]
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/sponge_tpu_jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
@@ -56,13 +56,16 @@ def main():
         o.permute()
         oracle[b] = o.state
 
-    for pipelined, sublanes in variants:
-        fn = cios_permute_fn(cfg, sublanes=sublanes, pipelined=bool(pipelined))
+    for pipelined, sublanes, streams in variants:
+        fn = cios_permute_fn(
+            cfg, sublanes=sublanes, pipelined=bool(pipelined),
+            lane_streams=streams,
+        )
         out = fn(jnp.asarray(state_np))
         sub = np.asarray(out[:, :, :lanes])
         for b in sample:
             got = [fs.mont_limbs_to_int(sub[i][:, b]) for i in range(cfg.t)]
-            assert got == oracle[b], (pipelined, sublanes, b)
+            assert got == oracle[b], (pipelined, sublanes, streams, b)
         t0 = time.time()
         reps = 8
         for _ in range(reps):
@@ -71,7 +74,8 @@ def main():
         rate = B / ((time.time() - t0) / reps)
         print(json.dumps({
             "pipelined": bool(pipelined), "sublanes": sublanes,
-            "perms_per_sec": round(rate), "parity": "ok",
+            "lane_streams": streams, "perms_per_sec": round(rate),
+            "parity": "ok",
         }))
 
 

@@ -297,32 +297,35 @@ def _mds_apply(L, t, elems, mds_ints, p_limbs, n0inv):
     return out
 
 
+def _mds_row_cols(L, t, elems, row_ints):
+    """Schoolbook columns of one lazy-accumulated MDS output row."""
+    cols = [None] * (2 * L)
+    for j in range(t):
+        ej = elems[j]
+        cij = row_ints[j]
+        for l2 in range(L):
+            c = cij[l2]
+            if c == 0:
+                continue
+            for l1 in range(L):
+                term = ej[l1] * c
+                k = l1 + l2
+                cols[k] = term if cols[k] is None else cols[k] + term
+    for k in range(2 * L):
+        if cols[k] is None:
+            cols[k] = jnp.zeros_like(elems[0][0])
+    return cols
+
+
 def _mds_apply_multi(L, t, elems, mds_ints, p_limbs, n0inv):
     """_mds_apply with the t output-row REDC chains interleaved."""
-    cols_list = []
-    for i in range(t):
-        cols = [None] * (2 * L)
-        for j in range(t):
-            ej = elems[j]
-            cij = mds_ints[i][j]
-            for l2 in range(L):
-                c = cij[l2]
-                if c == 0:
-                    continue
-                for l1 in range(L):
-                    term = ej[l1] * c
-                    k = l1 + l2
-                    cols[k] = term if cols[k] is None else cols[k] + term
-        for k in range(2 * L):
-            if cols[k] is None:
-                cols[k] = jnp.zeros_like(elems[0][0])
-        cols_list.append(cols)
+    cols_list = [_mds_row_cols(L, t, elems, mds_ints[i]) for i in range(t)]
     return _redc_multi(L, cols_list, p_limbs, n0inv)
 
 
-def _sparse_apply_multi(L, t, elems, row0, col0, p_limbs, n0inv):
-    """_sparse_apply with the row0-dot REDC and the t-1 column-product REDCs
-    interleaved (they are mutually independent)."""
+def _sparse_cols_list(L, t, elems, row0, col0):
+    """Column lists of one optimized-partial-round sparse apply: the row0-dot
+    (index 0) followed by the t-1 column products col0[i-1]*x0."""
     cols_list = []
     # out0 = <row0, elems> (lazy column accumulation, same bound as dense MDS).
     cols = [None] * (2 * L)
@@ -354,16 +357,186 @@ def _sparse_apply_multi(L, t, elems, row0, col0, p_limbs, n0inv):
             if cols[k] is None:
                 cols[k] = jnp.zeros_like(x0[0])
         cols_list.append(cols)
-    reduced = _redc_multi(L, cols_list, p_limbs, n0inv)
+    return cols_list
+
+
+def _sparse_apply_multi(L, t, elems, row0, col0, p_limbs, n0inv):
+    """_sparse_apply with the row0-dot REDC and the t-1 column-product REDCs
+    interleaved (they are mutually independent)."""
+    reduced = _redc_multi(
+        L, _sparse_cols_list(L, t, elems, row0, col0), p_limbs, n0inv
+    )
     out = [reduced[0]]
     for i in range(1, t):
         out.append([a + b for a, b in zip(reduced[i], elems[i])])  # limbs <= 2^13
     return out
 
 
-def _permute_kernel(
-    ark_ref, popt_ref, state_ref, out_ref, *, cfg, optimized, pipelined=False
+def _permute_kernel_streams(
+    ark_ref, popt_ref, state_ref, out_ref, *, cfg, optimized, lane_streams
 ):
+    """Lane-stream-interleaved kernel: the batch tile is split into
+    ``lane_streams`` independent sub-tiles along the sublane axis, advanced in
+    lockstep with every REDC/carry chain interleaved across the streams.
+
+    Unlike element-level interleaving (``pipelined=True``), this provides a
+    UNIFORM independence depth through the whole round schedule — including the
+    partial-round single-element S-box chains, which dominate the schedule and
+    have no element-level parallelism to exploit.  Motivated by
+    bench/latency_probe.py: a dependent modmul chain on one (8,128) tile runs
+    1.75x slower than two interleaved independent chains.
+    """
+    fs = cfg.field
+    L = fs.nlimbs
+    t = cfg.t
+    ns = lane_streams
+    fc = mont.field_consts(fs)
+    p_limbs = fc["p_tuple"]
+    n0inv = int(fc["n0inv"])
+    mds_ints = tuple(
+        tuple(tuple(int(v) for v in fs.int_to_mont_limbs(c)) for c in row)
+        for row in cfg.mds
+    )
+
+    st4_init = state_ref[:]
+    S = st4_init.shape[2]
+    h = S // ns
+
+    def unpack_streams(st4):
+        return [
+            [[st4[e, l, s * h : (s + 1) * h] for l in range(L)] for e in range(t)]
+            for s in range(ns)
+        ]
+
+    def pack_streams(sts):
+        return jnp.stack(
+            [
+                jnp.stack(
+                    [
+                        jnp.concatenate(
+                            [sts[s][e][l] for s in range(ns)], axis=0
+                        )
+                        for l in range(L)
+                    ]
+                )
+                for e in range(t)
+            ]
+        )
+
+    def ark_norm_streams(sts, r, ref):
+        for e in range(t):
+            added = [
+                [sts[s][e][l] + ref[r, e * L + l] for l in range(L)]
+                for s in range(ns)
+            ]
+            normed = _norm1_multi(added)
+            for s in range(ns):
+                sts[s][e] = normed[s]
+
+    def sbox_streams(sts, e):
+        outs = _pow_alpha_multi(
+            L, [sts[s][e] for s in range(ns)], cfg.alpha, p_limbs, n0inv
+        )
+        for s in range(ns):
+            sts[s][e] = outs[s]
+
+    def mds_streams(sts, row_ints_table):
+        news = [[None] * t for _ in range(ns)]
+        for i in range(t):
+            cols_list = [
+                _mds_row_cols(L, t, sts[s], row_ints_table[i]) for s in range(ns)
+            ]
+            red = _redc_multi(L, cols_list, p_limbs, n0inv)
+            for s in range(ns):
+                news[s][i] = red[s]
+        return news
+
+    def round_body(r, st4, full: bool):
+        sts = unpack_streams(st4)
+        ark_norm_streams(sts, r, ark_ref)
+        if full:
+            for e in range(t):
+                sbox_streams(sts, e)
+        else:
+            sbox_streams(sts, 0)
+        return pack_streams(mds_streams(sts, mds_ints))
+
+    half = cfg.full_rounds // 2
+    st4 = st4_init
+
+    st4 = jax.lax.fori_loop(0, half, lambda r, s: round_body(r, s, True), st4)
+
+    if not optimized:
+        st4 = jax.lax.fori_loop(
+            half, half + cfg.partial_rounds, lambda r, s: round_body(r, s, False),
+            st4,
+        )
+    else:
+        from ..poseidon.optimized import optimized_partial_layers
+
+        layers = optimized_partial_layers(cfg)
+        d_ints = tuple(
+            tuple(tuple(int(v) for v in fs.int_to_mont_limbs(c)) for c in row)
+            for row in layers.dense
+        )
+
+        sts = unpack_streams(st4)
+        ark_norm_streams(sts, half, ark_ref)
+        sbox_streams(sts, 0)
+        st4 = pack_streams(sts)
+
+        def opt_body(r, s4):
+            sts = unpack_streams(s4)
+            ark_norm_streams(sts, r, popt_ref)
+            row0 = [
+                [popt_ref[r, (t + e) * L + l] for l in range(L)] for e in range(t)
+            ]
+            col0 = [
+                [popt_ref[r, (2 * t + i) * L + l] for l in range(L)]
+                for i in range(t - 1)
+            ]
+            per_stream = [
+                _sparse_cols_list(L, t, sts[s], row0, col0) for s in range(ns)
+            ]
+            # Interleave across streams per sparse output index.
+            for idx in range(t):
+                red = _redc_multi(
+                    L, [per_stream[s][idx] for s in range(ns)], p_limbs, n0inv
+                )
+                for s in range(ns):
+                    if idx == 0:
+                        sts[s][0] = red[s]
+                    else:
+                        sts[s][idx] = [
+                            a + b for a, b in zip(red[s], sts[s][idx])
+                        ]  # limbs <= 2^13
+            sbox_streams(sts, 0)
+            return pack_streams(sts)
+
+        st4 = jax.lax.fori_loop(0, cfg.partial_rounds - 1, opt_body, st4)
+
+        sts = unpack_streams(st4)
+        for e in range(t):
+            normed = _norm1_multi([sts[s][e] for s in range(ns)])
+            for s in range(ns):
+                sts[s][e] = normed[s]
+        st4 = pack_streams(mds_streams(sts, d_ints))
+
+    st4 = jax.lax.fori_loop(
+        half + cfg.partial_rounds, cfg.rounds, lambda r, s: round_body(r, s, True), st4
+    )
+    out_ref[:] = st4
+
+
+def _permute_kernel(
+    ark_ref, popt_ref, state_ref, out_ref, *, cfg, optimized, pipelined=False,
+    lane_streams=1,
+):
+    if lane_streams > 1:
+        return _permute_kernel_streams(
+            ark_ref, popt_ref, state_ref, out_ref,
+            cfg=cfg, optimized=optimized, lane_streams=lane_streams,
+        )
     fs = cfg.field
     L = fs.nlimbs
     t = cfg.t
@@ -471,8 +644,19 @@ def cios_permute_fn(
     sublanes: int = SUBLANES,
     optimized: bool = True,
     pipelined: bool = False,
+    lane_streams: int = 1,
 ):
-    """Jitted CIOS permutation: (t, L, B) -> (t, L, B), B % (sublanes*128) == 0."""
+    """Jitted CIOS permutation: (t, L, B) -> (t, L, B), B % (sublanes*128) == 0.
+
+    ``lane_streams=k`` splits each batch tile into k independent sub-tiles
+    advanced in lockstep with interleaved carry chains (see
+    ``_permute_kernel_streams``); requires ``sublanes % (8 * k) == 0``.
+    """
+    if lane_streams > 1 and sublanes % (8 * lane_streams) != 0:
+        raise ValueError(
+            f"lane_streams={lane_streams} needs sublanes divisible by "
+            f"{8 * lane_streams} (got {sublanes})"
+        )
     fs = cfg.field
     L = fs.nlimbs
     t = cfg.t
@@ -511,7 +695,8 @@ def cios_permute_fn(
         popt_np = np.zeros((1, 1), dtype=np.int32)
 
     kernel = functools.partial(
-        _permute_kernel, cfg=cfg, optimized=optimized, pipelined=pipelined
+        _permute_kernel, cfg=cfg, optimized=optimized, pipelined=pipelined,
+        lane_streams=lane_streams,
     )
 
     @jax.jit

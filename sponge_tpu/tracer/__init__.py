@@ -10,7 +10,9 @@ from .absorb_gadget import (
     OptionVar,
     SWPointVar,
     TEPointVar,
+    absorb_gadget,
     bytes_to_field_elements_gadget,
+    collect_sponge_field_elements_gadget,
     to_sponge_bytes_gadget,
     to_sponge_field_elements_gadget,
 )
@@ -48,6 +50,8 @@ __all__ = [
     "get_limbs_representations",
     "get_params",
     "to_sponge_bytes_gadget",
+    "absorb_gadget",
+    "collect_sponge_field_elements_gadget",
     "Boolean",
     "ConstraintSystem",
     "FpVar",

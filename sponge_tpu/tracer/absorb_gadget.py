@@ -118,6 +118,25 @@ def to_sponge_field_elements_gadget(x, cs: ConstraintSystem, fs: FieldSpec) -> L
     raise TypeError(f"not gadget-absorbable: {type(x)!r}")
 
 
+def absorb_gadget(sponge, *items) -> None:
+    """``absorb_gadget!`` macro analogue (constraints/absorb.rs:201-210):
+    absorb each item in sequence."""
+    for item in items:
+        sponge.absorb(item)
+
+
+def collect_sponge_field_elements_gadget(
+    cs: ConstraintSystem, fs: FieldSpec, *items
+) -> List[FpVar]:
+    """``collect_sponge_field_elements_gadget!`` macro analogue
+    (constraints/absorb.rs:213-223): concatenate each item's field-element
+    encoding."""
+    out: List[FpVar] = []
+    for item in items:
+        out.extend(to_sponge_field_elements_gadget(item, cs, fs))
+    return out
+
+
 def to_sponge_bytes_gadget(x, cs: ConstraintSystem, fs: FieldSpec) -> List[UInt8]:
     """Byte-mode dispatch mirroring ``AbsorbGadget::to_sponge_bytes`` /
     ``batch_to_sponge_bytes`` (constraints/absorb.rs:21-35, impls :54-196)."""

@@ -149,7 +149,9 @@ class _FakeRef:
         self.arr = self.arr.at[idx].set(value)
 
 
-def _run_cios_kernel_body(cfg, optimized, B=256, stride=85, pipelined=False):
+def _run_cios_kernel_body(
+    cfg, optimized, B=256, stride=85, pipelined=False, lane_streams=1
+):
     """Run _permute_kernel itself (mock refs, CPU) against the oracle."""
     from sponge_tpu.ops import pallas_cios as pc
 
@@ -186,6 +188,7 @@ def _run_cios_kernel_body(cfg, optimized, B=256, stride=85, pipelined=False):
         pc._permute_kernel(
             _FakeRef(ark), _FakeRef(popt), _FakeRef(st), out_ref,
             cfg=cfg, optimized=optimized, pipelined=pipelined,
+            lane_streams=lane_streams,
         )
         return out_ref.arr
 
@@ -220,6 +223,16 @@ def test_cios_kernel_body_tiny_field_alpha17(optimized, pipelined):
 
     cfg = tiny_poseidon_config(full_rounds=8, partial_rounds=8, alpha=17, seed=11)
     _run_cios_kernel_body(cfg, optimized, stride=31, pipelined=pipelined)
+
+
+@pytest.mark.parametrize("optimized", [False, True], ids=["dense", "sparse-opt"])
+def test_cios_kernel_body_tiny_field_lane_streams(optimized):
+    """Lane-stream-interleaved kernel (2 independent sub-tiles in lockstep)
+    matches the oracle bit-for-bit."""
+    from conftest import tiny_poseidon_config
+
+    cfg = tiny_poseidon_config(full_rounds=8, partial_rounds=8, alpha=17, seed=11)
+    _run_cios_kernel_body(cfg, optimized, stride=31, lane_streams=2)
 
 
 @pytest.mark.skipif(

@@ -214,3 +214,26 @@ def test_tampered_witness_fails():
     assert cs.is_satisfied()
     cs.witness[len(cs.witness) // 2] = (cs.witness[len(cs.witness) // 2] + 1) % FR.modulus
     assert not cs.is_satisfied()
+
+
+def test_gadget_macros_equivalence():
+    """absorb_gadget! / collect_sponge_field_elements_gadget! analogues
+    (constraints/absorb.rs:201-223): sequential absorbs == one absorb of the
+    collected encoding."""
+    from sponge_tpu.tracer import absorb_gadget, collect_sponge_field_elements_gadget
+
+    vals = rand_fr(3)
+    cs = ConstraintSystem(FR)
+    items = [FpVar.new_witness(cs, vals[0]), Boolean.constant(True, FR),
+             [FpVar.new_witness(cs, v) for v in vals[1:]]]
+
+    s1 = PoseidonSpongeVar(cs, CFG)
+    absorb_gadget(s1, *items)
+
+    s2 = PoseidonSpongeVar(cs, CFG)
+    s2.absorb(collect_sponge_field_elements_gadget(cs, FR, *items))
+
+    assert [e.value for e in s1.squeeze_field_elements(2)] == [
+        e.value for e in s2.squeeze_field_elements(2)
+    ]
+    assert cs.is_satisfied()
