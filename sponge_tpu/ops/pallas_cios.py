@@ -644,14 +644,18 @@ def cios_permute_fn(
     sublanes: int = SUBLANES,
     optimized: bool = True,
     pipelined: bool = False,
-    lane_streams: int = 1,
+    lane_streams: int | None = None,
 ):
     """Jitted CIOS permutation: (t, L, B) -> (t, L, B), B % (sublanes*128) == 0.
 
     ``lane_streams=k`` splits each batch tile into k independent sub-tiles
     advanced in lockstep with interleaved carry chains (see
     ``_permute_kernel_streams``); requires ``sublanes % (8 * k) == 0``.
+    Default (``None``): 2 when the tile allows it — the fastest measured shape
+    (docs/DESIGN.md §6) — else 1.
     """
+    if lane_streams is None:
+        lane_streams = 2 if sublanes % 16 == 0 else 1
     if lane_streams > 1 and sublanes % (8 * lane_streams) != 0:
         raise ValueError(
             f"lane_streams={lane_streams} needs sublanes divisible by "
