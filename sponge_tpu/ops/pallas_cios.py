@@ -227,22 +227,15 @@ def _pow_alpha(L, x, alpha, p_limbs, n0inv):
     return acc
 
 
-def _sparse_apply(L, t, elems, row0, col0, p_limbs, n0inv):
-    """Apply one optimized-partial-round sparse matrix to limb-list elements.
-
-    ``row0``: t limb vectors (lists of scalars — SMEM loads in-kernel, ints in
-    tests); ``col0``: t-1 limb vectors.  out[0] = <row0, elems> with lazy column
-    accumulation (same int32 bound as the dense MDS: t*L + L-1 addends);
-    out[i] = REDC(col0[i-1] * elems[0]) + elems[i] (limbs <= 2^13, renormalized
-    by the next round's constant-add norm).
-    """
-    # out0 = sum_e row0[e] * elems[e]
+def _row_dot_cols(L, elems, coeffs, js):
+    """Schoolbook columns of sum_{e in js} coeffs[e] * elems[e] (one lazy
+    accumulation group of a variable-coefficient dot product)."""
     cols = [None] * (2 * L)
-    for e in range(t):
+    for e in js:
         xe = elems[e]
-        re = row0[e]
+        ce = coeffs[e]
         for l2 in range(L):
-            c = re[l2]
+            c = ce[l2]
             for l1 in range(L):
                 term = xe[l1] * c
                 k = l1 + l2
@@ -250,57 +243,87 @@ def _sparse_apply(L, t, elems, row0, col0, p_limbs, n0inv):
     for k in range(2 * L):
         if cols[k] is None:
             cols[k] = jnp.zeros_like(elems[0][0])
-    out = [_redc(L, cols, p_limbs, n0inv)]
+    return cols
+
+
+def _sparse_apply(L, t, elems, row0, col0, p_limbs, n0inv, groups=None):
+    """Apply one optimized-partial-round sparse matrix to limb-list elements.
+
+    ``row0``: t limb vectors (lists of scalars — SMEM loads in-kernel, ints in
+    tests); ``col0``: t-1 limb vectors.  out[0] = <row0, elems> with lazy column
+    accumulation per group (int32 bound: see ``_mds_groups``); out[i] =
+    REDC(col0[i-1] * elems[0]) + elems[i] (limbs <= 2^13, renormalized by the
+    next round's constant-add norm).
+    """
+    groups = groups or _mds_groups(L, t)
+    # out0 = sum_e row0[e] * elems[e]
+    parts = [
+        _redc(L, _row_dot_cols(L, elems, row0, js), p_limbs, n0inv)
+        for js in groups
+    ]
+    out = [parts[0] if len(parts) == 1 else _norm1(_sum_limbs(parts))]
     # out[i] = col0[i-1] * x0 + x_i
     x0 = elems[0]
     for i in range(1, t):
-        ci = col0[i - 1]
-        cols = [None] * (2 * L)
-        for l2 in range(L):
-            c = ci[l2]
-            for l1 in range(L):
-                term = x0[l1] * c
-                k = l1 + l2
-                cols[k] = term if cols[k] is None else cols[k] + term
-        for k in range(2 * L):
-            if cols[k] is None:
-                cols[k] = jnp.zeros_like(x0[0])
-        prod = _redc(L, cols, p_limbs, n0inv)
+        prod = _redc(
+            L, _row_dot_cols(L, [x0], [col0[i - 1]], [0]), p_limbs, n0inv
+        )
         out.append([a + b for a, b in zip(prod, elems[i])])  # limbs <= 2^13
     return out
 
 
-def _mds_apply(L, t, elems, mds_ints, p_limbs, n0inv):
-    """new[i] = sum_j mds[i][j] * elems[j], with lazy column accumulation.
+def _mds_groups(L, t, max_group=None):
+    """Partition of the MDS dot indices 0..t-1 into lazy-accumulation groups.
 
-    All t products of one output row share a single REDC: partial products are
-    <= 2^24 with <= 3L + (L-1) addends per column — within int32.
+    A shared REDC over g accumulated products has columns holding up to
+    g*L schoolbook addends plus (L-1) REDC addends, each < 2^24; int32
+    safety therefore requires g*L + L - 1 <= 127.  For t <= g (every
+    config with t <= 4 at L = 22) this is a single group and the trace is
+    identical to the ungrouped kernel; wide states (rates 4-8, t >= 5)
+    split into ceil(t/g) groups whose reduced outputs are summed
+    (canonical limbs, <= ceil(t/g) * 2^12) and renormalized.
+    ``max_group`` forces a smaller group purely so CI can exercise the
+    grouped path at tiny L.
     """
-    out = []
-    for i in range(t):
-        cols = [None] * (2 * L)
-        for j in range(t):
-            ej = elems[j]
-            cij = mds_ints[i][j]
-            for l2 in range(L):
-                c = cij[l2]
-                if c == 0:
-                    continue
-                for l1 in range(L):
-                    term = ej[l1] * c
-                    k = l1 + l2
-                    cols[k] = term if cols[k] is None else cols[k] + term
-        for k in range(2 * L):
-            if cols[k] is None:
-                cols[k] = jnp.zeros_like(elems[0][0])
-        out.append(_redc(L, cols, p_limbs, n0inv))
+    g = (128 - L) // L
+    if max_group is not None:
+        g = min(g, max_group)
+    if g < 1:
+        raise ValueError(f"L={L} too wide for the lazy-REDC CIOS kernel")
+    return [tuple(range(j0, min(j0 + g, t))) for j0 in range(0, t, g)]
+
+
+def _sum_limbs(parts):
+    """Limb-wise sum of canonical limb lists (bound: len(parts) * 2^12)."""
+    out = parts[0]
+    for p in parts[1:]:
+        out = [a + b for a, b in zip(out, p)]
     return out
 
 
-def _mds_row_cols(L, t, elems, row_ints):
-    """Schoolbook columns of one lazy-accumulated MDS output row."""
+def _mds_apply(L, t, elems, mds_ints, p_limbs, n0inv, groups=None):
+    """new[i] = sum_j mds[i][j] * elems[j], with lazy column accumulation.
+
+    Products within one group share a single REDC (bound analysis in
+    ``_mds_groups``); multi-group rows sum their reduced parts and
+    renormalize, so the output is always canonical.
+    """
+    groups = groups or _mds_groups(L, t)
+    out = []
+    for i in range(t):
+        parts = [
+            _redc(L, _mds_row_cols(L, t, elems, mds_ints[i], js), p_limbs, n0inv)
+            for js in groups
+        ]
+        out.append(parts[0] if len(parts) == 1 else _norm1(_sum_limbs(parts)))
+    return out
+
+
+def _mds_row_cols(L, t, elems, row_ints, js=None):
+    """Schoolbook columns of one lazy-accumulated MDS output row (optionally
+    restricted to the dot indices ``js`` — one accumulation group)."""
     cols = [None] * (2 * L)
-    for j in range(t):
+    for j in js if js is not None else range(t):
         ej = elems[j]
         cij = row_ints[j]
         for l2 in range(L):
@@ -317,31 +340,30 @@ def _mds_row_cols(L, t, elems, row_ints):
     return cols
 
 
-def _mds_apply_multi(L, t, elems, mds_ints, p_limbs, n0inv):
+def _mds_apply_multi(L, t, elems, mds_ints, p_limbs, n0inv, groups=None):
     """_mds_apply with the t output-row REDC chains interleaved."""
-    cols_list = [_mds_row_cols(L, t, elems, mds_ints[i]) for i in range(t)]
-    return _redc_multi(L, cols_list, p_limbs, n0inv)
+    groups = groups or _mds_groups(L, t)
+    parts = [[] for _ in range(t)]
+    for js in groups:
+        red = _redc_multi(
+            L,
+            [_mds_row_cols(L, t, elems, mds_ints[i], js) for i in range(t)],
+            p_limbs,
+            n0inv,
+        )
+        for i in range(t):
+            parts[i].append(red[i])
+    if len(groups) == 1:
+        return [parts[i][0] for i in range(t)]
+    return _norm1_multi([_sum_limbs(parts[i]) for i in range(t)])
 
 
-def _sparse_cols_list(L, t, elems, row0, col0):
+def _sparse_cols_list(L, t, elems, row0, col0, groups=None):
     """Column lists of one optimized-partial-round sparse apply: the row0-dot
-    (index 0) followed by the t-1 column products col0[i-1]*x0."""
-    cols_list = []
-    # out0 = <row0, elems> (lazy column accumulation, same bound as dense MDS).
-    cols = [None] * (2 * L)
-    for e in range(t):
-        xe = elems[e]
-        re = row0[e]
-        for l2 in range(L):
-            c = re[l2]
-            for l1 in range(L):
-                term = xe[l1] * c
-                k = l1 + l2
-                cols[k] = term if cols[k] is None else cols[k] + term
-    for k in range(2 * L):
-        if cols[k] is None:
-            cols[k] = jnp.zeros_like(elems[0][0])
-    cols_list.append(cols)
+    accumulation groups (indices 0..G-1, see ``_mds_groups``) followed by the
+    t-1 column products col0[i-1]*x0.  All entries are mutually independent."""
+    groups = groups or _mds_groups(L, t)
+    cols_list = [_row_dot_cols(L, elems, row0, js) for js in groups]
     # col0[i-1] * x0 products.
     x0 = elems[0]
     for i in range(1, t):
@@ -360,20 +382,35 @@ def _sparse_cols_list(L, t, elems, row0, col0):
     return cols_list
 
 
-def _sparse_apply_multi(L, t, elems, row0, col0, p_limbs, n0inv):
-    """_sparse_apply with the row0-dot REDC and the t-1 column-product REDCs
-    interleaved (they are mutually independent)."""
-    reduced = _redc_multi(
-        L, _sparse_cols_list(L, t, elems, row0, col0), p_limbs, n0inv
-    )
-    out = [reduced[0]]
+def _sparse_combine(L, t, reduced, elems, n_groups):
+    """Recombine the _redc_multi outputs of a _sparse_cols_list: sum (and, if
+    grouped, renormalize) the row0-dot parts, add elems into the column
+    products (limbs <= 2^13, renormalized by the next round's constant-add)."""
+    if n_groups == 1:
+        out0 = reduced[0]
+    else:
+        out0 = _norm1(_sum_limbs(reduced[:n_groups]))
+    out = [out0]
     for i in range(1, t):
-        out.append([a + b for a, b in zip(reduced[i], elems[i])])  # limbs <= 2^13
+        out.append(
+            [a + b for a, b in zip(reduced[n_groups + i - 1], elems[i])]
+        )
     return out
 
 
+def _sparse_apply_multi(L, t, elems, row0, col0, p_limbs, n0inv, groups=None):
+    """_sparse_apply with the row0-dot REDC(s) and the t-1 column-product REDCs
+    interleaved (they are mutually independent)."""
+    groups = groups or _mds_groups(L, t)
+    reduced = _redc_multi(
+        L, _sparse_cols_list(L, t, elems, row0, col0, groups), p_limbs, n0inv
+    )
+    return _sparse_combine(L, t, reduced, elems, len(groups))
+
+
 def _permute_kernel_streams(
-    ark_ref, popt_ref, state_ref, out_ref, *, cfg, optimized, lane_streams
+    ark_ref, popt_ref, state_ref, out_ref, *, cfg, optimized, lane_streams,
+    mds_group=None,
 ):
     """Lane-stream-interleaved kernel: the batch tile is split into
     ``lane_streams`` independent sub-tiles along the sublane axis, advanced in
@@ -397,6 +434,8 @@ def _permute_kernel_streams(
         tuple(tuple(int(v) for v in fs.int_to_mont_limbs(c)) for c in row)
         for row in cfg.mds
     )
+    groups = _mds_groups(L, t, mds_group)
+    G = len(groups)
 
     st4_init = state_ref[:]
     S = st4_init.shape[2]
@@ -443,12 +482,26 @@ def _permute_kernel_streams(
     def mds_streams(sts, row_ints_table):
         news = [[None] * t for _ in range(ns)]
         for i in range(t):
-            cols_list = [
-                _mds_row_cols(L, t, sts[s], row_ints_table[i]) for s in range(ns)
-            ]
-            red = _redc_multi(L, cols_list, p_limbs, n0inv)
-            for s in range(ns):
-                news[s][i] = red[s]
+            parts = [[] for _ in range(ns)]
+            for js in groups:
+                red = _redc_multi(
+                    L,
+                    [
+                        _mds_row_cols(L, t, sts[s], row_ints_table[i], js)
+                        for s in range(ns)
+                    ],
+                    p_limbs,
+                    n0inv,
+                )
+                for s in range(ns):
+                    parts[s].append(red[s])
+            if G == 1:
+                for s in range(ns):
+                    news[s][i] = parts[s][0]
+            else:
+                normed = _norm1_multi([_sum_limbs(parts[s]) for s in range(ns)])
+                for s in range(ns):
+                    news[s][i] = normed[s]
         return news
 
     def round_body(r, st4, full: bool):
@@ -496,20 +549,32 @@ def _permute_kernel_streams(
                 for i in range(t - 1)
             ]
             per_stream = [
-                _sparse_cols_list(L, t, sts[s], row0, col0) for s in range(ns)
+                _sparse_cols_list(L, t, sts[s], row0, col0, groups)
+                for s in range(ns)
             ]
-            # Interleave across streams per sparse output index.
-            for idx in range(t):
+            # Interleave across streams per sparse column-list index (row0-dot
+            # groups first, then the t-1 column products).
+            reduced = [[] for _ in range(ns)]
+            for idx in range(G + t - 1):
                 red = _redc_multi(
                     L, [per_stream[s][idx] for s in range(ns)], p_limbs, n0inv
                 )
                 for s in range(ns):
-                    if idx == 0:
-                        sts[s][0] = red[s]
-                    else:
-                        sts[s][idx] = [
-                            a + b for a, b in zip(red[s], sts[s][idx])
-                        ]  # limbs <= 2^13
+                    reduced[s].append(red[s])
+            if G == 1:
+                for s in range(ns):
+                    sts[s][0] = reduced[s][0]
+            else:
+                normed = _norm1_multi(
+                    [_sum_limbs(reduced[s][:G]) for s in range(ns)]
+                )
+                for s in range(ns):
+                    sts[s][0] = normed[s]
+            for s in range(ns):
+                for i in range(1, t):
+                    sts[s][i] = [
+                        a + b for a, b in zip(reduced[s][G + i - 1], sts[s][i])
+                    ]  # limbs <= 2^13
             sbox_streams(sts, 0)
             return pack_streams(sts)
 
@@ -530,12 +595,13 @@ def _permute_kernel_streams(
 
 def _permute_kernel(
     ark_ref, popt_ref, state_ref, out_ref, *, cfg, optimized, pipelined=False,
-    lane_streams=1,
+    lane_streams=1, mds_group=None,
 ):
     if lane_streams > 1:
         return _permute_kernel_streams(
             ark_ref, popt_ref, state_ref, out_ref,
             cfg=cfg, optimized=optimized, lane_streams=lane_streams,
+            mds_group=mds_group,
         )
     fs = cfg.field
     L = fs.nlimbs
@@ -548,6 +614,7 @@ def _permute_kernel(
         tuple(tuple(int(v) for v in fs.int_to_mont_limbs(c)) for c in row)
         for row in cfg.mds
     )
+    groups = _mds_groups(L, t, mds_group)
 
     def unpack(st4):
         return [[st4[e, l] for l in range(L)] for e in range(t)]
@@ -576,7 +643,7 @@ def _permute_kernel(
         else:
             elems[0] = _pow_alpha(L, elems[0], cfg.alpha, p_limbs, n0inv)
         mds = _mds_apply_multi if pipelined else _mds_apply
-        return pack(mds(L, t, elems, mds_ints, p_limbs, n0inv))
+        return pack(mds(L, t, elems, mds_ints, p_limbs, n0inv, groups))
 
     half = cfg.full_rounds // 2
     st4 = state_ref[:]
@@ -617,7 +684,7 @@ def _permute_kernel(
                 for i in range(t - 1)
             ]
             sparse = _sparse_apply_multi if pipelined else _sparse_apply
-            els = sparse(L, t, els, row0, col0, p_limbs, n0inv)
+            els = sparse(L, t, els, row0, col0, p_limbs, n0inv, groups)
             els[0] = _pow_alpha(L, els[0], cfg.alpha, p_limbs, n0inv)
             return pack(els)
 
@@ -629,7 +696,7 @@ def _permute_kernel(
         up = unpack(st4)
         elems = _norm1_multi(up) if pipelined else [_norm1(limbs) for limbs in up]
         mds = _mds_apply_multi if pipelined else _mds_apply
-        st4 = pack(mds(L, t, elems, d_ints, p_limbs, n0inv))
+        st4 = pack(mds(L, t, elems, d_ints, p_limbs, n0inv, groups))
 
     st4 = jax.lax.fori_loop(
         half + cfg.partial_rounds, cfg.rounds, lambda r, s: round_body(r, s, True), st4
@@ -645,6 +712,7 @@ def cios_permute_fn(
     optimized: bool = True,
     pipelined: bool = False,
     lane_streams: int | None = None,
+    mds_group: int | None = None,
 ):
     """Jitted CIOS permutation: (t, L, B) -> (t, L, B), B % (sublanes*128) == 0.
 
@@ -653,6 +721,11 @@ def cios_permute_fn(
     ``_permute_kernel_streams``); requires ``sublanes % (8 * k) == 0``.
     Default (``None``): 2 when the tile allows it — the fastest measured shape
     (docs/DESIGN.md §6) — else 1.
+
+    Any state width is supported: MDS dots wider than the lazy-REDC int32
+    budget (t*L + L - 1 >= 128, i.e. t >= 5 at L = 22) split into accumulation
+    groups with one shared REDC each (``_mds_groups``).  ``mds_group`` forces a
+    smaller group size (tests only).
     """
     if lane_streams is None:
         lane_streams = 2 if sublanes % 16 == 0 else 1
@@ -666,13 +739,7 @@ def cios_permute_fn(
     t = cfg.t
     R = cfg.rounds
     tile_lanes = sublanes * 128
-    # Overflow guard, NOT just a graph-size heuristic: the lazy-REDC MDS column
-    # bound is t*L*2^24 (schoolbook) + (L-1)*2^24 (REDC) and must stay < 2^31.
-    if (t * L + L - 1) << 24 >= 1 << 31:
-        raise ValueError(
-            f"CIOS kernel supports t*L + L - 1 < 128 (got t={t}, L={L}); "
-            "use the vectorized kernel (backend='pallas') or the XLA tier"
-        )
+    _mds_groups(L, t, mds_group)  # raises if L itself exceeds the int32 budget
     ark_np = np.stack(
         [
             np.concatenate([fs.int_to_mont_limbs(c) for c in row])
@@ -700,7 +767,7 @@ def cios_permute_fn(
 
     kernel = functools.partial(
         _permute_kernel, cfg=cfg, optimized=optimized, pipelined=pipelined,
-        lane_streams=lane_streams,
+        lane_streams=lane_streams, mds_group=mds_group,
     )
 
     @jax.jit

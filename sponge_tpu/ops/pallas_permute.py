@@ -31,11 +31,22 @@ from jax.experimental.pallas import tpu as pltpu
 from ..poseidon.config import PoseidonConfig, device_constants
 from . import montgomery as mont
 
-# Default batch-tile width (lanes) per kernel program.  VMEM working set per tile
-# is ~(a few MB): state (t*L*TB*4B) plus schoolbook temporaries (~6 * 2L * TB * 4B
-# live at once after fusion).  512 lanes keeps comfortably inside 16 MB VMEM for
-# t <= 9 while saturating the 8x128 VPU.
+# Default batch-tile width (lanes) per kernel program.  VMEM working set per
+# tile is dominated by the one-shot MDS schoolbook temporaries,
+# ~4 * t^2 * 2L * TB * 4B live at once — 512 lanes fits 16 MB VMEM for t <= 5
+# but OOMs at t = 9 (observed: 33.6 MB > the 16 MB scoped-vmem limit), so the
+# tile shrinks with the state width via ``tile_for``.
 DEFAULT_TILE = 512
+
+
+def tile_for(cfg: PoseidonConfig) -> int:
+    """Largest power-of-two batch tile (<= DEFAULT_TILE, >= 128) whose MDS
+    temporaries fit the 16 MB scoped-VMEM budget."""
+    L = cfg.field.nlimbs
+    tile = DEFAULT_TILE
+    while tile > 128 and 4 * cfg.t * cfg.t * 2 * L * tile * 4 > 12 * (1 << 20):
+        tile //= 2
+    return tile
 
 
 def _round_in_kernel(cfg, ark_r, mds, p, nprime, state, full: bool):
@@ -79,11 +90,16 @@ def _permute_kernel(ark_ref, mds_ref, state_ref, out_ref, *, cfg):
 
 
 @functools.lru_cache(maxsize=None)
-def pallas_permute_fn(cfg: PoseidonConfig, tile: int = DEFAULT_TILE, interpret: bool = False):
-    """Jitted fused permutation: (t, L, B) -> (t, L, B), B a multiple of ``tile``.
+def pallas_permute_fn(
+    cfg: PoseidonConfig, tile: int | None = None, interpret: bool = False
+):
+    """Jitted fused permutation: (t, L, B) -> (t, L, B), B a multiple of ``tile``
+    (default: ``tile_for(cfg)`` — VMEM-safe for any state width).
 
     ``interpret=True`` runs the Pallas interpreter (CPU testing).
     """
+    if tile is None:
+        tile = tile_for(cfg)
     fs = cfg.field
     L = fs.nlimbs
     t = cfg.t

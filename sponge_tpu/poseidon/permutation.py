@@ -88,19 +88,19 @@ def batched_permute(cfg: PoseidonConfig, state: jnp.ndarray, backend: str = "aut
     "cios" / "pallas" (the reference-style fused kernel) / "xla".
     """
     from ..ops.pallas_cios import TILE_LANES, cios_permute_fn
-    from ..ops.pallas_permute import DEFAULT_TILE, pallas_permute_fn
+    from ..ops.pallas_permute import pallas_permute_fn, tile_for
 
     B = state.shape[-1]
     on_tpu = jax.default_backend() == "tpu"
-    # The unrolled CIOS kernel's MDS traces t^2 * L^2 multiply ops; beyond t=4
-    # the Mosaic graph gets impractically large, so wide states route to the
-    # vectorized fused kernel instead.
-    cios_ok = cfg.t <= 4
-    if backend == "cios" or (
-        backend == "auto" and on_tpu and cios_ok and B % TILE_LANES == 0
-    ):
+    # The CIOS kernel covers every state width: wide states (t >= 5 at L = 22)
+    # use grouped lazy-MDS accumulation and measure 2-6x the vectorized tier
+    # (bench/wide_probe.py: rate-4 482K vs 246K perms/s; rate-8 0.49-1.07M
+    # across runs vs 84K).
+    if backend == "cios" or (backend == "auto" and on_tpu and B % TILE_LANES == 0):
         return cios_permute_fn(cfg)(state)
-    if backend == "pallas" or (backend == "auto" and on_tpu and B % DEFAULT_TILE == 0):
+    if backend == "pallas" or (
+        backend == "auto" and on_tpu and B % tile_for(cfg) == 0
+    ):
         return pallas_permute_fn(cfg)(state)
     return permute_jit(cfg)(state)
 

@@ -150,7 +150,8 @@ class _FakeRef:
 
 
 def _run_cios_kernel_body(
-    cfg, optimized, B=256, stride=85, pipelined=False, lane_streams=1
+    cfg, optimized, B=256, stride=85, pipelined=False, lane_streams=1,
+    mds_group=None,
 ):
     """Run _permute_kernel itself (mock refs, CPU) against the oracle."""
     from sponge_tpu.ops import pallas_cios as pc
@@ -188,7 +189,7 @@ def _run_cios_kernel_body(
         pc._permute_kernel(
             _FakeRef(ark), _FakeRef(popt), _FakeRef(st), out_ref,
             cfg=cfg, optimized=optimized, pipelined=pipelined,
-            lane_streams=lane_streams,
+            lane_streams=lane_streams, mds_group=mds_group,
         )
         return out_ref.arr
 
@@ -233,6 +234,27 @@ def test_cios_kernel_body_tiny_field_lane_streams(optimized):
 
     cfg = tiny_poseidon_config(full_rounds=8, partial_rounds=8, alpha=17, seed=11)
     _run_cios_kernel_body(cfg, optimized, stride=31, lane_streams=2)
+
+
+@pytest.mark.parametrize(
+    "variant", ["serial", "pipelined", "streams"], ids=["serial", "pipelined", "streams"]
+)
+@pytest.mark.parametrize("optimized", [False, True], ids=["dense", "sparse-opt"])
+def test_cios_kernel_body_grouped_mds(optimized, variant):
+    """Grouped lazy-MDS accumulation (the wide-state int32-safety path, t >= 5
+    at production L) matches the oracle in all three emission variants.
+
+    Group splitting is forced via ``mds_group`` because at tiny L the int32
+    budget would otherwise never split; a t=5 config exercises the same
+    row/column bookkeeping at a width that NEEDS grouping at L=22."""
+    from conftest import tiny_poseidon_config
+
+    cfg = tiny_poseidon_config(t=5, full_rounds=4, partial_rounds=5, alpha=5, seed=13)
+    _run_cios_kernel_body(
+        cfg, optimized, stride=37, mds_group=2,
+        pipelined=(variant == "pipelined"),
+        lane_streams=2 if variant == "streams" else 1,
+    )
 
 
 @pytest.mark.skipif(
