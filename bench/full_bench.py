@@ -150,6 +150,34 @@ def bench_transcript(batch=1 << 14, reps=3):
             "value": round(rate), "unit": "transcripts/s"}
 
 
+def bench_lazy_transcript(batch=1 << 14, reps=3):
+    """Config 5 (lazy interactive): same 5-step transcript through
+    LazyPoseidonSponge — absorbs queued host-side, one fused segment per
+    squeeze (2 device programs per pass instead of ~10 dispatches)."""
+    from sponge_tpu import BLS12_381_FR, LazyPoseidonSponge, get_default_poseidon_parameters
+    from sponge_tpu import Fp, U64
+
+    cfg = get_default_poseidon_parameters(BLS12_381_FR, 2, False)
+
+    def one_pass():
+        s = LazyPoseidonSponge(cfg, batch_size=batch)
+        s.absorb(b"transcript-header")
+        s.absorb(U64(1))
+        s.absorb([Fp(12345, BLS12_381_FR), Fp(67890, BLS12_381_FR)])
+        s.squeeze_native_plane(2)
+        s.absorb(U64(2))
+        return s.squeeze_native_plane(1)
+
+    sync(one_pass())  # warm-up (compiles both segments)
+    t0 = time.time()
+    for _ in range(reps):
+        out = one_pass()
+    sync(out)
+    rate = batch * reps / (time.time() - t0)
+    return {"name": f"lazy segment-batched transcript (same 5 steps, B={batch} lanes)",
+            "value": round(rate), "unit": "transcripts/s"}
+
+
 def bench_compiled_transcript(batch=1 << 17, reps=5):
     """Config 5 (fast path): the same 5-step transcript as ONE fused program."""
     from sponge_tpu import BLS12_381_FR, get_default_poseidon_parameters
@@ -185,6 +213,7 @@ def main():
     rows.append(bench_bn254(12 if args.quick else 17))
     rows.append(bench_merkle(14 if args.quick else 24))
     rows.append(bench_transcript(1 << (10 if args.quick else 14)))
+    rows.append(bench_lazy_transcript(1 << (10 if args.quick else 14)))
     rows.append(bench_compiled_transcript(1 << (12 if args.quick else 17)))
 
     dev = str(jax.devices()[0])

@@ -33,7 +33,7 @@ from .absorb import (
     to_sponge_field_elements,
 )
 from .absorb import field_cast
-from .fields import BLS12_381_FR, BN254_FR, FieldSpec, get_field
+from .fields import BLS12_377_FR, BLS12_381_FR, BN254_FR, FieldSpec, get_field
 from .poseidon.config import PoseidonConfig
 from .poseidon.oracle import (
     ABSORBING,
@@ -50,6 +50,7 @@ from .poseidon.params import (
     get_default_poseidon_parameters,
     poseidon_test_fixture,
 )
+from .lazy import LazyPoseidonSponge
 from .sponge import Batched, PoseidonSponge
 from .transcript import Absorb as TranscriptAbsorb
 from .transcript import SqueezeNative as TranscriptSqueeze
@@ -66,12 +67,14 @@ __all__ = [
     "poseidon_test_fixture",
     "BLS12_381_FR",
     "BN254_FR",
+    "BLS12_377_FR",
     "FieldSpec",
     "get_field",
     "PoseidonConfig",
     "find_poseidon_ark_and_mds",
     "get_default_poseidon_parameters",
     "PoseidonSponge",
+    "LazyPoseidonSponge",
     "Batched",
     "SpongeState",
     "FULL",

@@ -189,7 +189,16 @@ BN254_FR = FieldSpec(
     generator=5,
 )
 
-_FIELDS = {f.name: f for f in (BLS12_381_FR, BN254_FR)}
+# BLS12-377 scalar field (ark-bls12-377 Fr): the third widely-used arkworks
+# SNARK field; 253 bits, same 22-limb plane layout (and native codec) as the
+# other two.
+BLS12_377_FR = FieldSpec(
+    name="bls12_377_fr",
+    modulus=8444461749428370424248824938781546531375899335154063827935233455917409239041,
+    generator=22,
+)
+
+_FIELDS = {f.name: f for f in (BLS12_381_FR, BN254_FR, BLS12_377_FR)}
 
 
 def get_field(name: str) -> FieldSpec:

@@ -170,12 +170,21 @@ _BLS12_381_FR_WEIGHTS = (
     (8, 257, 8, 13, 0),
 )
 
+# BLS12-377 Fr: gcd(5, p-1) = 5, so the x^5 S-box is NOT a permutation over
+# this field; the constraints table uses alpha = 17 (coprime) for every rate,
+# keeping the alpha=5 tables' R_P — conservative, since a higher-degree S-box
+# only strengthens the algebraic security margin at equal round counts.
+_BLS12_377_FR_CONSTRAINTS = tuple(
+    (rate, 17, rf, rp, skip) for rate, _a, rf, rp, skip in _BLS12_381_FR_CONSTRAINTS
+)
+
 _DEFAULT_TABLES = {
     "bls12_381_fr": {False: _BLS12_381_FR_CONSTRAINTS, True: _BLS12_381_FR_WEIGHTS},
     # The BLS tables target any ~255-bit prime via the Grain seed, so reuse them as
     # sensible defaults for BN254 Fr (capability parity: the reference lets any
     # field declare tables via PoseidonDefaultConfig, traits.rs:43-56).
     "bn254_fr": {False: _BLS12_381_FR_CONSTRAINTS, True: _BLS12_381_FR_WEIGHTS},
+    "bls12_377_fr": {False: _BLS12_377_FR_CONSTRAINTS, True: _BLS12_381_FR_WEIGHTS},
 }
 
 

@@ -49,13 +49,28 @@ class SqueezeNative:
 Step = Union[Absorb, SqueezeNative]
 
 
-def _replay(cfg: PoseidonConfig, steps: Sequence[Step], elems, backend: str):
-    """Trace-time replay of the duplex state machine over device values."""
+def _replay(
+    cfg: PoseidonConfig,
+    steps: Sequence[Step],
+    elems,
+    backend: str,
+    state=None,
+    mode: str = "absorbing",
+    index: int = 0,
+    return_state: bool = False,
+):
+    """Trace-time replay of the duplex state machine over device values.
+
+    Starts from ``(state, mode, index)`` — a fresh zero sponge by default —
+    so segments of a longer transcript can be compiled independently (see
+    ``sponge_tpu.lazy``).  With ``return_state`` the final device state is
+    returned alongside the squeezed plane; the final (mode, index) bookkeeping
+    is host-static and computed by ``segment_bookkeeping``.
+    """
     fs = cfg.field
     L, B = elems.shape[-2], elems.shape[-1]
-    state = jnp.zeros((cfg.t, L, B), dtype=jnp.int32)
-    mode = "absorbing"
-    index = 0
+    if state is None:
+        state = jnp.zeros((cfg.t, L, B), dtype=jnp.int32)
     pos = 0
     outs = []
 
@@ -133,7 +148,46 @@ def _replay(cfg: PoseidonConfig, steps: Sequence[Step], elems, backend: str):
         if outs
         else jnp.zeros((0, L, B), dtype=jnp.int32)
     )
-    return mont.from_mont(fs, squeezed)
+    canonical = mont.from_mont(fs, squeezed)
+    if return_state:
+        return canonical, state
+    return canonical
+
+
+def segment_bookkeeping(
+    cfg: PoseidonConfig, steps: Sequence[Step], mode: str, index: int
+) -> Tuple[str, int]:
+    """Final (mode, index) after replaying ``steps`` from (mode, index).
+
+    Mirrors exactly the host-static control flow of ``_replay`` (the reference
+    duplex bookkeeping, mod.rs:121-182, 232-341) without touching device
+    values; equivalence with the interactive sponge is asserted in tests.
+    """
+    for step in steps:
+        if isinstance(step, Absorb):
+            n = step.num_elements
+            if n == 0:
+                continue
+            start = index if mode == "absorbing" else 0
+            if start == cfg.rate:
+                start = 0
+            remaining = n
+            while start + remaining > cfg.rate:
+                remaining -= cfg.rate - start
+                start = 0
+            mode, index = "absorbing", start + remaining
+        elif isinstance(step, SqueezeNative):
+            start = index if mode == "squeezing" else 0
+            if start == cfg.rate:
+                start = 0
+            remaining = step.num_elements
+            while start + remaining > cfg.rate:
+                remaining -= cfg.rate - start
+                start = 0
+            mode, index = "squeezing", start + remaining
+        else:
+            raise TypeError(f"unknown transcript step: {step!r}")
+    return mode, index
 
 
 def transcript_shape(steps: Sequence[Step]) -> Tuple[int, int]:

@@ -1,0 +1,167 @@
+"""LazyPoseidonSponge (segment-batched dispatch) ≡ interactive sponge ≡ oracle.
+
+The lazy sponge defers absorbs and flushes them as one fused jitted segment per
+squeeze; these tests pin that re-batching to the reference duplex semantics on
+interleaved schedules (mode flips, multi-chunk squeezes, the remaining==rate
+no-permute quirk), plus bookkeeping/state-export equivalence and segment-cache
+reuse for loop-shaped transcripts.
+
+Every segment structure is a separate XLA program (its permutations inline), so
+the schedule-heavy tests run over the tiny CI field where one segment compiles
+in ~3 s; the BLS12-381 golden vector is kept as the parity anchor.
+"""
+
+import numpy as np
+import pytest
+from conftest import TINY_FR, tiny_poseidon_config
+
+from sponge_tpu import (
+    BLS12_381_FR,
+    Batched,
+    LazyPoseidonSponge,
+    PoseidonSponge,
+    get_default_poseidon_parameters,
+)
+from sponge_tpu.absorb import Fp
+from sponge_tpu.poseidon.oracle import OraclePoseidonSponge
+
+FR = BLS12_381_FR
+CFG = get_default_poseidon_parameters(FR, 2, False)
+TCFG = tiny_poseidon_config()
+
+
+def rand_vals(rng, fs, n):
+    return [int(rng.integers(0, 2 ** 62)) % fs.modulus for _ in range(n)]
+
+
+GOLDEN_SQUEEZE = [
+    40442793463571304028337753002242186710310163897048962278675457993207843616876,
+    2664374461699898000291153145224099287711224021716202960480903840045233645301,
+    50191078828066923662070228256530692951801504043422844038937334196346054068797,
+]
+
+
+def test_lazy_golden_vector():
+    """poseidon/mod.rs:383-398 through the segment-batched sponge, every lane."""
+    s = LazyPoseidonSponge(CFG, batch_size=4)
+    s.absorb([Fp(0, FR), Fp(1, FR), Fp(2, FR)])
+    for lane in s.squeeze_native_field_elements(3):
+        assert lane == GOLDEN_SQUEEZE
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_lazy_vs_interactive_random_transcripts(seed):
+    """Same interleaved schedule through both sponges: identical outputs and
+    identical duplex bookkeeping whenever the lazy queue is flushed."""
+    rng = np.random.default_rng(seed)
+    B = 2
+    lazy = LazyPoseidonSponge(TCFG, batch_size=B)
+    plain = PoseidonSponge(TCFG, batch_size=B)
+
+    for _ in range(10):
+        kind = rng.choice(["absorb", "squeeze", "bytes"])
+        n = int(rng.integers(1, 6))
+        if kind == "absorb":
+            vals = [
+                [Fp(v, TINY_FR) for v in rand_vals(rng, TINY_FR, n)]
+                for _ in range(B)
+            ]
+            lazy.absorb(Batched(vals))
+            plain.absorb(Batched(vals))
+        elif kind == "squeeze":
+            assert lazy.squeeze_native_field_elements(
+                n
+            ) == plain.squeeze_native_field_elements(n)
+        else:
+            assert lazy.squeeze_bytes(n + 4) == plain.squeeze_bytes(n + 4)
+        if not lazy._pending:
+            assert (lazy.mode, lazy.index) == (plain.mode, plain.index)
+
+
+def test_lazy_vs_oracle_quirk_paths():
+    """Multi-chunk squeeze crossing the remaining==rate no-permute quirk, then
+    an absorb-after-squeeze mode flip."""
+    rng = np.random.default_rng(9)
+    lazy = LazyPoseidonSponge(TCFG, batch_size=1)
+    oracle = OraclePoseidonSponge(TCFG)
+    vals = rand_vals(rng, TINY_FR, 3)
+    lazy.absorb(Batched([[Fp(v, TINY_FR) for v in vals]]))
+    oracle.absorb([Fp(v, TINY_FR) for v in vals])
+    n = 2 * TCFG.rate
+    assert lazy.squeeze_native_field_elements(n)[0] == (
+        oracle.squeeze_native_field_elements(n)
+    )
+    lazy.absorb(Batched([[Fp(7, TINY_FR)]]))
+    oracle.absorb([Fp(7, TINY_FR)])
+    assert lazy.squeeze_native_field_elements(1)[0] == (
+        oracle.squeeze_native_field_elements(1)
+    )
+
+
+def test_lazy_clone_fork_and_state():
+    rng = np.random.default_rng(11)
+    s = LazyPoseidonSponge(TCFG, batch_size=2)
+    s.absorb(
+        Batched([[Fp(v, TINY_FR)] for v in rand_vals(rng, TINY_FR, 2)])
+    )  # pending absorb
+
+    # clone carries the pending queue; both resolve identically
+    c = s.clone()
+    assert s.squeeze_native_field_elements(2) == c.squeeze_native_field_elements(2)
+
+    # fork == clone + length-prefixed domain absorb (on top of pending state)
+    from sponge_tpu import absorb as codec
+
+    f1 = s.fork(b"dom")
+    f2 = s.clone()
+    f2.absorb(codec.to_sponge_bytes(codec.Usize(3)) + b"dom")
+    assert f1.squeeze_native_field_elements(1) == f2.squeeze_native_field_elements(1)
+
+    # into_state flushes pending absorbs; round trip restores bit-exactly
+    s2 = LazyPoseidonSponge(TCFG, batch_size=2)
+    s2.absorb(Batched([[Fp(3, TINY_FR)], [Fp(4, TINY_FR)]]))
+    st = s2.into_state()
+    assert not s2._pending
+    s3 = LazyPoseidonSponge.from_state(st, TCFG)
+    assert s2.squeeze_native_field_elements(1) == s3.squeeze_native_field_elements(1)
+
+
+def test_segment_cache_reuse():
+    """A loop with stable per-iteration structure compiles its segment once."""
+    from sponge_tpu.lazy import _segment_fn
+
+    _segment_fn.cache_clear()
+    rng = np.random.default_rng(13)
+    s = LazyPoseidonSponge(TCFG, batch_size=2)
+    for _ in range(5):
+        s.absorb(
+            Batched([[Fp(v, TINY_FR)] for v in rand_vals(rng, TINY_FR, 2)])
+        )
+        s.squeeze_native_field_elements(1)
+    info = _segment_fn.cache_info()
+    # the first iteration (and possibly a differing first-entry bookkeeping)
+    # miss; steady-state iterations must hit the cache.
+    assert info.hits >= 3, info
+    assert info.misses <= 2, info
+
+
+def test_segment_bookkeeping_matches_interactive():
+    """segment_bookkeeping ≡ the interactive sponge's (mode, index) evolution
+    (host-only equivalence, no extra compiles: reuses one interactive sponge)."""
+    from sponge_tpu.transcript import Absorb, SqueezeNative, segment_bookkeeping
+
+    rng = np.random.default_rng(17)
+    plain = PoseidonSponge(TCFG, batch_size=1)
+    mode, index = plain.mode, plain.index
+    for _ in range(25):
+        n = int(rng.integers(1, 7))
+        if rng.random() < 0.5:
+            plain.absorb(
+                Batched([[Fp(v, TINY_FR) for v in rand_vals(rng, TINY_FR, n)]])
+            )
+            step = Absorb(n)
+        else:
+            plain.squeeze_native_field_elements(n)
+            step = SqueezeNative(n)
+        mode, index = segment_bookkeeping(TCFG, (step,), mode, index)
+        assert (mode, index) == (plain.mode, plain.index)
