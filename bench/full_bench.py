@@ -198,6 +198,28 @@ def bench_compiled_transcript(batch=1 << 17, reps=5):
             "value": round(rate), "unit": "transcripts/s"}
 
 
+def bench_host_runtime(reps=3000):
+    """Host (CPU, single-thread) native C++ tier: the verifier-side path where a
+    device dispatch round trip dwarfs the arithmetic.  Parity-gated by
+    tests/test_host_runtime.py (oracle-exact)."""
+    from sponge_tpu import BLS12_381_FR, get_default_poseidon_parameters
+    from sponge_tpu.poseidon.host import host_available, host_run_schedule
+
+    cfg = get_default_poseidon_parameters(BLS12_381_FR, 2, False)
+    if not host_available(cfg):
+        return {"name": "native host transcript (no C++ toolchain)",
+                "value": 0, "unit": "transcripts/s"}
+    steps = [("absorb", 3), ("squeeze", 2), ("absorb", 1), ("squeeze", 1)]
+    elems = [12345, 67890, 424242, 777]
+    host_run_schedule(cfg, steps, elems)  # build + table warm-up
+    t0 = time.time()
+    for _ in range(reps):
+        host_run_schedule(cfg, steps, elems)
+    rate = reps / (time.time() - t0)
+    return {"name": "native host transcript (4 steps, C++ single-thread)",
+            "value": round(rate), "unit": "transcripts/s"}
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--quick", action="store_true", help="smaller shapes")
@@ -215,6 +237,7 @@ def main():
     rows.append(bench_transcript(1 << (10 if args.quick else 14)))
     rows.append(bench_lazy_transcript(1 << (10 if args.quick else 14)))
     rows.append(bench_compiled_transcript(1 << (12 if args.quick else 17)))
+    rows.append(bench_host_runtime(500 if args.quick else 3000))
 
     dev = str(jax.devices()[0])
     lines = [

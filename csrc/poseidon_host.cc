@@ -1,0 +1,287 @@
+// Native host-side Poseidon permutation: scalar 4x64-bit Montgomery CIOS.
+//
+// The reference sponge is consumed on CPUs (Fiat-Shamir verifiers, proof
+// checks, small transcripts) where a TPU dispatch round trip dwarfs the work;
+// the framework's pure-python oracle is bit-exact but ~1000x slower than the
+// reference's ark-ff Montgomery backend.  This file is the host-runtime
+// equivalent of that backend (/root/reference/src/test.rs:10 uses
+// MontBackend<.., 4>, i.e. 4 x 64-bit limbs) driving the exact round schedule
+// of /root/reference/src/poseidon/mod.rs:95-118: R_F/2 full rounds (ARK add,
+// x^alpha on all elements, dense MDS), R_P partial rounds (x^alpha on element
+// 0 only), R_F/2 full rounds.
+//
+// All values cross the ABI in Montgomery form (R = 2^256) as 4 x 64-bit
+// little-endian words; the Python wrapper (sponge_tpu/utils/native.py)
+// performs the canonical <-> Montgomery conversion.
+//
+// Build: c++ -O3 -shared -fPIC -o libposeidonhost.so poseidon_host.cc
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+constexpr int NW = 4;  // 4 x 64-bit words = 256 bits
+using u64 = uint64_t;
+using u128 = unsigned __int128;
+
+struct FieldCtx64 {
+  u64 p[NW];   // modulus, little-endian 64-bit words
+  u64 n0inv;   // -p^{-1} mod 2^64
+};
+
+// out = a * b / 2^256 mod p  (CIOS, 64-bit words, 128-bit accumulators).
+inline void mont_mul(const FieldCtx64& f, const u64* a, const u64* b, u64* out) {
+  u64 t[NW + 2] = {0};
+  for (int i = 0; i < NW; ++i) {
+    u128 carry = 0;
+    for (int j = 0; j < NW; ++j) {
+      u128 cur = (u128)t[j] + (u128)a[j] * b[i] + carry;
+      t[j] = (u64)cur;
+      carry = cur >> 64;
+    }
+    u128 cur = (u128)t[NW] + carry;
+    t[NW] = (u64)cur;
+    t[NW + 1] = (u64)(cur >> 64);
+
+    u64 m = t[0] * f.n0inv;
+    u128 cur2 = (u128)t[0] + (u128)m * f.p[0];
+    carry = cur2 >> 64;
+    for (int j = 1; j < NW; ++j) {
+      u128 c2 = (u128)t[j] + (u128)m * f.p[j] + carry;
+      t[j - 1] = (u64)c2;
+      carry = c2 >> 64;
+    }
+    u128 c3 = (u128)t[NW] + carry;
+    t[NW - 1] = (u64)c3;
+    t[NW] = t[NW + 1] + (u64)(c3 >> 64);
+    t[NW + 1] = 0;
+  }
+  // Conditional subtraction of p.
+  u64 res[NW];
+  u128 borrow = 0;
+  for (int j = 0; j < NW; ++j) {
+    u128 d = (u128)t[j] - f.p[j] - borrow;
+    res[j] = (u64)d;
+    borrow = (d >> 127) & 1;
+  }
+  bool ge_p = (t[NW] != 0) || (borrow == 0);
+  for (int j = 0; j < NW; ++j) out[j] = ge_p ? res[j] : t[j];
+}
+
+// out = a + b mod p (both < p).
+inline void mont_add(const FieldCtx64& f, const u64* a, const u64* b, u64* out) {
+  u64 s[NW];
+  u128 carry = 0;
+  for (int j = 0; j < NW; ++j) {
+    u128 cur = (u128)a[j] + b[j] + carry;
+    s[j] = (u64)cur;
+    carry = cur >> 64;
+  }
+  u64 res[NW];
+  u128 borrow = 0;
+  for (int j = 0; j < NW; ++j) {
+    u128 d = (u128)s[j] - f.p[j] - borrow;
+    res[j] = (u64)d;
+    borrow = (d >> 127) & 1;
+  }
+  bool ge_p = (carry != 0) || (borrow == 0);
+  for (int j = 0; j < NW; ++j) out[j] = ge_p ? res[j] : s[j];
+}
+
+// out = x^alpha (MSB-first square-and-multiply; alpha is small and static).
+inline void mont_pow(const FieldCtx64& f, const u64* x, uint32_t alpha, u64* out) {
+  u64 acc[NW];
+  std::memcpy(acc, x, sizeof(acc));
+  int top = 31 - __builtin_clz(alpha);
+  for (int bit = top - 1; bit >= 0; --bit) {
+    u64 sq[NW];
+    mont_mul(f, acc, acc, sq);
+    if ((alpha >> bit) & 1) {
+      mont_mul(f, sq, x, acc);
+    } else {
+      std::memcpy(acc, sq, sizeof(sq));
+    }
+  }
+  std::memcpy(out, acc, NW * sizeof(u64));
+}
+
+struct PoseidonCtx {
+  FieldCtx64 f;
+  int t, alpha, full_rounds, partial_rounds;
+  const u64* ark;  // (R * t * NW) words, Montgomery form
+  const u64* mds;  // (t * t * NW) words, Montgomery form
+};
+
+inline void one_round(const PoseidonCtx& c, int r, bool full, u64* st,
+                      u64* scratch) {
+  const int t = c.t;
+  // ARK add (mod.rs:76-80).
+  for (int e = 0; e < t; ++e)
+    mont_add(c.f, st + e * NW, c.ark + ((int64_t)r * t + e) * NW, st + e * NW);
+  // S-box (mod.rs:63-74).
+  if (full) {
+    for (int e = 0; e < t; ++e) mont_pow(c.f, st + e * NW, c.alpha, st + e * NW);
+  } else {
+    mont_pow(c.f, st, c.alpha, st);
+  }
+  // Dense MDS (mod.rs:82-93): scratch = mds * st.
+  for (int i = 0; i < t; ++i) {
+    u64 acc[NW] = {0};
+    for (int j = 0; j < t; ++j) {
+      u64 prod[NW];
+      mont_mul(c.f, c.mds + ((int64_t)i * t + j) * NW, st + j * NW, prod);
+      mont_add(c.f, acc, prod, acc);
+    }
+    std::memcpy(scratch + i * NW, acc, NW * sizeof(u64));
+  }
+  std::memcpy(st, scratch, (size_t)t * NW * sizeof(u64));
+}
+
+inline void permute_one(const PoseidonCtx& c, u64* st, u64* scratch) {
+  const int half = c.full_rounds / 2;
+  const int rounds = c.full_rounds + c.partial_rounds;
+  for (int r = 0; r < half; ++r) one_round(c, r, true, st, scratch);
+  for (int r = half; r < half + c.partial_rounds; ++r)
+    one_round(c, r, false, st, scratch);
+  for (int r = half + c.partial_rounds; r < rounds; ++r)
+    one_round(c, r, true, st, scratch);
+}
+
+}  // namespace
+
+extern "C" {
+
+// fctx: p (4 x u64 LE) ‖ n0inv (1 x u64)
+// ark:  (full_rounds + partial_rounds) * t elements, mds: t * t elements,
+//       each element 4 x u64 LE Montgomery form.
+// states: n * t elements, Montgomery form, permuted IN PLACE.
+void poseidon_permute_host(const u64* fctx, int32_t t, int32_t alpha,
+                           int32_t full_rounds, int32_t partial_rounds,
+                           const u64* ark, const u64* mds, u64* states,
+                           int64_t n) {
+  PoseidonCtx c;
+  std::memcpy(c.f.p, fctx, NW * sizeof(u64));
+  c.f.n0inv = fctx[NW];
+  c.t = t;
+  c.alpha = alpha;
+  c.full_rounds = full_rounds;
+  c.partial_rounds = partial_rounds;
+  c.ark = ark;
+  c.mds = mds;
+  std::vector<u64> scratch((size_t)t * NW);
+  for (int64_t i = 0; i < n; ++i)
+    permute_one(c, states + (int64_t)i * t * NW, scratch.data());
+}
+
+// Duplex-sponge segment driver: runs an absorb/squeeze schedule over a live
+// sponge exactly like the reference state machine (mod.rs:121-182, 232-341),
+// so a transcript segment needs ONE ctypes call.  steps: pairs (kind, count)
+// with kind 0 = absorb, 1 = squeeze-native; elems: all absorbed elements in
+// order; out: all squeezed elements in order.  state_io: t elements (in/out —
+// zero it for a fresh sponge, mod.rs:220); bk: {mode (0 absorb / 1 squeeze),
+// index} bookkeeping (in/out).  capacity is the reference's fixed layout:
+// state[0..capacity) untouched by IO.
+void poseidon_sponge_run(const u64* fctx, int32_t t, int32_t alpha,
+                         int32_t full_rounds, int32_t partial_rounds,
+                         int32_t rate, int32_t capacity, const u64* ark,
+                         const u64* mds, const int32_t* steps, int64_t n_steps,
+                         const u64* elems, u64* out, u64* state_io,
+                         int32_t* bk) {
+  PoseidonCtx c;
+  std::memcpy(c.f.p, fctx, NW * sizeof(u64));
+  c.f.n0inv = fctx[NW];
+  c.t = t;
+  c.alpha = alpha;
+  c.full_rounds = full_rounds;
+  c.partial_rounds = partial_rounds;
+  c.ark = ark;
+  c.mds = mds;
+
+  std::vector<u64> state(state_io, state_io + (size_t)t * NW);
+  std::vector<u64> scratch((size_t)t * NW);
+  int mode = bk[0];  // 0 = absorbing, 1 = squeezing
+  int index = bk[1];
+  int64_t epos = 0, opos = 0;
+
+  for (int64_t s = 0; s < n_steps; ++s) {
+    int kind = steps[2 * s];
+    int64_t count = steps[2 * s + 1];
+    if (kind == 0) {
+      if (count == 0) continue;
+      int start;
+      if (mode == 0) {
+        start = index;
+        if (start == rate) {
+          permute_one(c, state.data(), scratch.data());
+          start = 0;
+        }
+      } else {
+        permute_one(c, state.data(), scratch.data());
+        start = 0;
+      }
+      // absorb_internal (mod.rs:121-150): ADD into the rate region.
+      int64_t remaining = count;
+      while (true) {
+        if (start + remaining <= rate) {
+          for (int64_t k = 0; k < remaining; ++k)
+            mont_add(c.f, state.data() + (capacity + start + k) * NW,
+                     elems + (epos + k) * NW,
+                     state.data() + (capacity + start + k) * NW);
+          epos += remaining;
+          mode = 0;
+          index = (int)(start + remaining);
+          break;
+        }
+        int64_t take = rate - start;
+        for (int64_t k = 0; k < take; ++k)
+          mont_add(c.f, state.data() + (capacity + start + k) * NW,
+                   elems + (epos + k) * NW,
+                   state.data() + (capacity + start + k) * NW);
+        epos += take;
+        permute_one(c, state.data(), scratch.data());
+        remaining -= take;
+        start = 0;
+      }
+    } else {
+      int start;
+      if (mode == 0) {
+        permute_one(c, state.data(), scratch.data());
+        start = 0;
+      } else {
+        start = index;
+        if (start == rate) {
+          permute_one(c, state.data(), scratch.data());
+          start = 0;
+        }
+      }
+      // squeeze_internal (mod.rs:153-182) incl. the remaining==rate
+      // no-permute quirk (mod.rs:174-177).
+      int64_t remaining = count;
+      while (true) {
+        if (start + remaining <= rate) {
+          std::memcpy(out + opos * NW, state.data() + (capacity + start) * NW,
+                      (size_t)remaining * NW * sizeof(u64));
+          opos += remaining;
+          mode = 1;
+          index = (int)(start + remaining);
+          break;
+        }
+        int64_t take = rate - start;
+        std::memcpy(out + opos * NW, state.data() + (capacity + start) * NW,
+                    (size_t)take * NW * sizeof(u64));
+        opos += take;
+        if (remaining != rate) permute_one(c, state.data(), scratch.data());
+        remaining -= take;
+        start = 0;
+      }
+    }
+  }
+
+  std::memcpy(state_io, state.data(), state.size() * sizeof(u64));
+  bk[0] = mode;
+  bk[1] = index;
+}
+
+}  // extern "C"

@@ -51,6 +51,11 @@ from .poseidon.params import (
     poseidon_test_fixture,
 )
 from .lazy import LazyPoseidonSponge
+from .poseidon.host import (
+    HostPoseidonSponge,
+    host_available,
+    host_run_schedule,
+)
 from .sponge import Batched, PoseidonSponge
 from .transcript import Absorb as TranscriptAbsorb
 from .transcript import SqueezeNative as TranscriptSqueeze
@@ -75,6 +80,9 @@ __all__ = [
     "get_default_poseidon_parameters",
     "PoseidonSponge",
     "LazyPoseidonSponge",
+    "HostPoseidonSponge",
+    "host_available",
+    "host_run_schedule",
     "Batched",
     "SpongeState",
     "FULL",

@@ -1,0 +1,228 @@
+"""Native host-runtime Poseidon sponge (C++ backend, bit-exact vs the oracle).
+
+The reference sponge's production consumers are split: provers hash huge batches
+(TPU path), while verifiers / transcript checkers run a handful of permutations
+on a CPU where a device dispatch round trip dwarfs the arithmetic.  The
+reference serves the latter with ark-ff's native Montgomery backend
+(/root/reference/src/test.rs:10, ``MontBackend<.., 4>``); this module is the
+framework's equivalent: a scalar 4x64-bit Montgomery CIOS permutation and a
+whole-schedule duplex driver in C++ (csrc/poseidon_host.cc), loaded via ctypes.
+
+Two tiers:
+
+* :class:`HostPoseidonSponge` — a drop-in ``OraclePoseidonSponge`` whose
+  ``permute`` runs natively.  Every oracle API (absorb codec, squeeze
+  bytes/bits/nonnative, fork, SpongeExt) is inherited unchanged, so it is
+  bit-exact by construction everywhere except the permutation, which is tested
+  against the oracle.  ~100-1000x the pure-python oracle.
+* :func:`host_run_schedule` — runs an entire absorb/squeeze schedule (the same
+  step language as ``transcript.compile_transcript``) in ONE native call,
+  including the duplex mode-flip and no-permute-squeeze quirks
+  (/root/reference/src/poseidon/mod.rs:121-182).  This is the host analogue of
+  the compiled-transcript device path, for latency-bound verifier loops.
+
+Both degrade gracefully: without a C++ toolchain (or for >256-bit or
+non-uint32-alpha configs) ``HostPoseidonSponge`` falls back to the pure oracle
+and ``host_run_schedule`` raises ``RuntimeError`` (callers check
+:func:`host_available`).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..utils.native import get_poseidon_lib
+from .config import PoseidonConfig
+from .oracle import ABSORBING, SQUEEZING, OraclePoseidonSponge, SpongeState
+
+_R_BITS = 256  # native word radix: 4 x 64-bit limbs
+_R = 1 << _R_BITS
+
+
+def _supported(cfg: PoseidonConfig) -> bool:
+    p = cfg.field.modulus
+    return (
+        p % 2 == 1
+        and p.bit_length() <= _R_BITS
+        and 1 <= cfg.alpha < (1 << 31)
+    )
+
+
+def host_available(cfg: PoseidonConfig) -> bool:
+    """True when the native runtime can serve this config."""
+    return _supported(cfg) and get_poseidon_lib() is not None
+
+
+@dataclass(frozen=True)
+class _HostTables:
+    """Per-config native constants: field ctx + Montgomery-form ark/mds."""
+
+    fctx: np.ndarray  # (5,) u64: p (4 LE words) + n0inv
+    ark: np.ndarray   # (R*t*4,) u64, Montgomery
+    mds: np.ndarray   # (t*t*4,) u64, Montgomery
+
+
+def _to_mont_words(p: int, values) -> np.ndarray:
+    """Canonical ints -> (n, 4) u64 LE Montgomery-form words."""
+    buf = bytearray()
+    for v in values:
+        buf += ((v << _R_BITS) % p).to_bytes(32, "little")
+    return np.frombuffer(bytes(buf), dtype=np.uint64).reshape(-1, 4)
+
+
+@functools.lru_cache(maxsize=64)
+def _rinv(p: int) -> int:
+    return pow(_R, -1, p)
+
+
+def _from_mont_words(p: int, words: np.ndarray) -> list:
+    """(n, 4) u64 LE Montgomery-form words -> canonical ints."""
+    rinv = _rinv(p)
+    raw = np.ascontiguousarray(words, dtype=np.uint64).tobytes()
+    return [
+        int.from_bytes(raw[i : i + 32], "little") * rinv % p
+        for i in range(0, len(raw), 32)
+    ]
+
+
+@functools.lru_cache(maxsize=32)
+def _tables(cfg: PoseidonConfig) -> _HostTables:
+    p = cfg.field.modulus
+    fctx = np.zeros(5, dtype=np.uint64)
+    fctx[0:4] = np.frombuffer(p.to_bytes(32, "little"), dtype=np.uint64)
+    fctx[4] = (-pow(p, -1, 1 << 64)) % (1 << 64)
+    ark = _to_mont_words(p, [a for row in cfg.ark for a in row]).reshape(-1)
+    mds = _to_mont_words(p, [m for row in cfg.mds for m in row]).reshape(-1)
+    return _HostTables(fctx=fctx, ark=ark, mds=mds)
+
+
+def host_permute_states(cfg: PoseidonConfig, states) -> list:
+    """Permute ``n`` canonical-int states (flat list of n*t ints) natively.
+
+    Returns the permuted flat list.  Raises ``RuntimeError`` when the native
+    runtime is unavailable (callers should gate on :func:`host_available`).
+    """
+    lib = get_poseidon_lib()
+    if lib is None or not _supported(cfg):
+        raise RuntimeError("native host Poseidon runtime unavailable")
+    t = cfg.t
+    n, rem = divmod(len(states), t)
+    if rem:
+        raise ValueError(f"states length {len(states)} not a multiple of t={t}")
+    tab = _tables(cfg)
+    plane = np.ascontiguousarray(_to_mont_words(cfg.field.modulus, states))
+    lib.poseidon_permute_host(
+        tab.fctx.ctypes.data, t, cfg.alpha, cfg.full_rounds, cfg.partial_rounds,
+        tab.ark.ctypes.data, tab.mds.ctypes.data, plane.ctypes.data, n,
+    )
+    return _from_mont_words(cfg.field.modulus, plane)
+
+
+class HostPoseidonSponge(OraclePoseidonSponge):
+    """Oracle-API sponge whose permutation runs in the native C++ runtime.
+
+    State stays canonical python ints (so ``SpongeExt``/clone/fork and every
+    squeeze-formatting path are inherited verbatim); only ``permute`` crosses
+    into C++.  Falls back to the pure-python permutation when the native
+    library cannot be built, so constructing one never fails.
+    """
+
+    def __init__(self, cfg: PoseidonConfig):
+        super().__init__(cfg)
+        self._native = host_available(cfg)
+        # Resolve tables/lib once: hashing the config (63x3 bigint ark tuple)
+        # per permute would cost as much as the permutation itself.
+        self._tab = _tables(cfg) if self._native else None
+        self._lib = get_poseidon_lib() if self._native else None
+
+    def permute(self):
+        if not self._native:
+            return super().permute()
+        cfg, tab = self.cfg, self._tab
+        plane = np.ascontiguousarray(
+            _to_mont_words(cfg.field.modulus, self.state)
+        )
+        self._lib.poseidon_permute_host(
+            tab.fctx.ctypes.data, cfg.t, cfg.alpha, cfg.full_rounds,
+            cfg.partial_rounds, tab.ark.ctypes.data, tab.mds.ctypes.data,
+            plane.ctypes.data, 1,
+        )
+        self.state = _from_mont_words(cfg.field.modulus, plane)
+
+    def clone(self) -> "HostPoseidonSponge":
+        new = HostPoseidonSponge(self.cfg)
+        new.state = list(self.state)
+        new.mode = self.mode
+        new.index = self.index
+        return new
+
+
+_MODE_CODE = {ABSORBING: 0, SQUEEZING: 1}
+_MODE_NAME = {0: ABSORBING, 1: SQUEEZING}
+
+
+def host_run_schedule(cfg, steps, elems, state: SpongeState = None):
+    """Run a whole absorb/squeeze schedule in one native call.
+
+    ``steps``: sequence of ``("absorb", n)`` / ``("squeeze", n)`` pairs —
+    absorbs consume the next ``n`` canonical ints from ``elems``, squeezes emit
+    ``n`` native field elements.  ``state``: resume point (a ``SpongeState``
+    from a previous run / ``into_state()``); None starts a fresh sponge.
+
+    Returns ``(squeezed, new_state)`` with ``squeezed`` the concatenated
+    canonical-int outputs in schedule order.  Matches the reference duplex
+    state machine exactly (mod.rs:232-341), including zero-element absorbs
+    being no-ops and the remaining==rate squeeze quirk.
+    """
+    lib = get_poseidon_lib()
+    if lib is None or not _supported(cfg):
+        raise RuntimeError("native host Poseidon runtime unavailable")
+    p = cfg.field.modulus
+
+    n_absorb = sum(n for kind, n in steps if kind == "absorb")
+    n_squeeze = sum(n for kind, n in steps if kind == "squeeze")
+    elems = list(elems)
+    if len(elems) != n_absorb:
+        raise ValueError(
+            f"schedule absorbs {n_absorb} elements, got {len(elems)}"
+        )
+
+    step_arr = np.zeros((max(len(steps), 1), 2), dtype=np.int32)
+    for i, (kind, n) in enumerate(steps):
+        if kind == "absorb":
+            step_arr[i] = (0, n)
+        elif kind == "squeeze":
+            step_arr[i] = (1, n)
+        else:
+            raise ValueError(f"unknown step kind {kind!r}")
+
+    tab = _tables(cfg)
+    ein = np.ascontiguousarray(
+        _to_mont_words(p, [e % p for e in elems])
+        if elems
+        else np.zeros((1, 4), dtype=np.uint64)
+    )
+    out = np.zeros((max(n_squeeze, 1), 4), dtype=np.uint64)
+    if state is None:
+        state = SpongeState(state=[0] * cfg.t, mode=ABSORBING, index=0)
+    st = np.ascontiguousarray(_to_mont_words(p, state.state))
+    bk = np.array([_MODE_CODE[state.mode], state.index], dtype=np.int32)
+
+    lib.poseidon_sponge_run(
+        tab.fctx.ctypes.data, cfg.t, cfg.alpha, cfg.full_rounds,
+        cfg.partial_rounds, cfg.rate, cfg.capacity,
+        tab.ark.ctypes.data, tab.mds.ctypes.data,
+        step_arr.ctypes.data, len(steps),
+        ein.ctypes.data, out.ctypes.data, st.ctypes.data, bk.ctypes.data,
+    )
+
+    squeezed = _from_mont_words(p, out)[:n_squeeze]
+    new_state = SpongeState(
+        state=_from_mont_words(p, st),
+        mode=_MODE_NAME[int(bk[0])],
+        index=int(bk[1]),
+    )
+    return squeezed, new_state

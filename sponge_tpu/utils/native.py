@@ -19,14 +19,16 @@ from typing import Optional
 
 import numpy as np
 
-_SRC = pathlib.Path(__file__).resolve().parent.parent.parent / "csrc" / "host_codec.cc"
+_CSRC = pathlib.Path(__file__).resolve().parent.parent.parent / "csrc"
+_SRC = _CSRC / "host_codec.cc"
 _LOCK = threading.Lock()
 _LIB: Optional[ctypes.CDLL] = None
 _TRIED = False
 
 
-def _build() -> Optional[ctypes.CDLL]:
-    if not _SRC.exists():
+def _compile_shared(src: pathlib.Path, stem: str) -> Optional[ctypes.CDLL]:
+    """Build (once, content-hashed into the user cache) and dlopen a csrc file."""
+    if not src.exists():
         return None
     cache = pathlib.Path(
         os.environ.get("SPONGE_TPU_CACHE", os.path.expanduser("~/.cache/sponge_tpu"))
@@ -35,14 +37,14 @@ def _build() -> Optional[ctypes.CDLL]:
         cache.mkdir(parents=True, exist_ok=True)
     except OSError:
         return None
-    tag = hashlib.sha256(_SRC.read_bytes()).hexdigest()[:16]
-    so = cache / f"libhostcodec-{tag}.so"
+    tag = hashlib.sha256(src.read_bytes()).hexdigest()[:16]
+    so = cache / f"lib{stem}-{tag}.so"
     if not so.exists():
         tmp = so.with_suffix(".tmp.so")
         for cc in ("c++", "g++", "clang++"):
             try:
                 subprocess.run(
-                    [cc, "-O3", "-shared", "-fPIC", "-o", str(tmp), str(_SRC)],
+                    [cc, "-O3", "-shared", "-fPIC", "-o", str(tmp), str(src)],
                     check=True,
                     capture_output=True,
                     timeout=120,
@@ -54,8 +56,14 @@ def _build() -> Optional[ctypes.CDLL]:
         else:
             return None
     try:
-        lib = ctypes.CDLL(str(so))
+        return ctypes.CDLL(str(so))
     except OSError:
+        return None
+
+
+def _build() -> Optional[ctypes.CDLL]:
+    lib = _compile_shared(_SRC, "hostcodec")
+    if lib is None:
         return None
     lib.encode_mont_plane.argtypes = [
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p
@@ -80,6 +88,58 @@ def get_lib() -> Optional[ctypes.CDLL]:
             _LIB = _build()
             _TRIED = True
     return _LIB
+
+
+_POSEIDON_SRC = _CSRC / "poseidon_host.cc"
+_POSEIDON_LIB: Optional[ctypes.CDLL] = None
+_POSEIDON_TRIED = False
+
+
+def _build_poseidon() -> Optional[ctypes.CDLL]:
+    lib = _compile_shared(_POSEIDON_SRC, "poseidonhost")
+    if lib is None:
+        return None
+    lib.poseidon_permute_host.argtypes = [
+        ctypes.c_void_p,  # fctx: p (4 x u64 LE) + n0inv
+        ctypes.c_int32,   # t
+        ctypes.c_int32,   # alpha
+        ctypes.c_int32,   # full_rounds
+        ctypes.c_int32,   # partial_rounds
+        ctypes.c_void_p,  # ark (R*t*4 u64, Montgomery)
+        ctypes.c_void_p,  # mds (t*t*4 u64, Montgomery)
+        ctypes.c_void_p,  # states (n*t*4 u64, in-place)
+        ctypes.c_int64,   # n
+    ]
+    lib.poseidon_sponge_run.argtypes = [
+        ctypes.c_void_p,  # fctx
+        ctypes.c_int32,   # t
+        ctypes.c_int32,   # alpha
+        ctypes.c_int32,   # full_rounds
+        ctypes.c_int32,   # partial_rounds
+        ctypes.c_int32,   # rate
+        ctypes.c_int32,   # capacity
+        ctypes.c_void_p,  # ark
+        ctypes.c_void_p,  # mds
+        ctypes.c_void_p,  # steps (n_steps x {kind, count} int32)
+        ctypes.c_int64,   # n_steps
+        ctypes.c_void_p,  # elems (absorbed, Montgomery u64 words)
+        ctypes.c_void_p,  # out (squeezed, Montgomery u64 words)
+        ctypes.c_void_p,  # state_io (t*4 u64, in/out)
+        ctypes.c_void_p,  # bk ({mode, index} int32, in/out)
+    ]
+    return lib
+
+
+def get_poseidon_lib() -> Optional[ctypes.CDLL]:
+    """The native host Poseidon runtime (csrc/poseidon_host.cc), or None."""
+    global _POSEIDON_LIB, _POSEIDON_TRIED
+    if _POSEIDON_TRIED:
+        return _POSEIDON_LIB
+    with _LOCK:
+        if not _POSEIDON_TRIED:
+            _POSEIDON_LIB = _build_poseidon()
+            _POSEIDON_TRIED = True
+    return _POSEIDON_LIB
 
 
 def _field_ctx(fs) -> np.ndarray:
