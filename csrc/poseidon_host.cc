@@ -18,6 +18,7 @@
 
 #include <cstdint>
 #include <cstring>
+#include <thread>
 #include <vector>
 
 namespace {
@@ -112,6 +113,11 @@ struct PoseidonCtx {
   int t, alpha, full_rounds, partial_rounds;
   const u64* ark;  // (R * t * NW) words, Montgomery form
   const u64* mds;  // (t * t * NW) words, Montgomery form
+  // Optional sparse-MDS optimized partial-round tables (nullable; exact
+  // algebraic identity — see sponge_tpu/poseidon/optimized.py).  Packed:
+  // c_first (t) ‖ constants ((k-1)*t) ‖ row0 ((k-1)*t) ‖ col0 ((k-1)*(t-1))
+  // ‖ dense (t*t), each element NW u64 Montgomery words.
+  const u64* opt;
 };
 
 inline void one_round(const PoseidonCtx& c, int r, bool full, u64* st,
@@ -139,12 +145,65 @@ inline void one_round(const PoseidonCtx& c, int r, bool full, u64* st,
   std::memcpy(st, scratch, (size_t)t * NW * sizeof(u64));
 }
 
+// Optimized partial-round chain (bit-identical to the naive rounds): element-0
+// S-box between sparse matrices, one trailing dense matrix.  Mirrors
+// eval_partial_chain_optimized in sponge_tpu/poseidon/optimized.py.
+inline void partial_chain_opt(const PoseidonCtx& c, u64* st, u64* scratch) {
+  const int t = c.t;
+  const int k = c.partial_rounds;
+  const u64* c_first = c.opt;
+  const u64* consts = c_first + (int64_t)t * NW;
+  const u64* row0 = consts + (int64_t)(k - 1) * t * NW;
+  const u64* col0 = row0 + (int64_t)(k - 1) * t * NW;
+  const u64* dense = col0 + (int64_t)(k - 1) * (t - 1) * NW;
+
+  for (int e = 0; e < t; ++e)
+    mont_add(c.f, st + e * NW, c_first + e * NW, st + e * NW);
+  mont_pow(c.f, st, c.alpha, st);
+  for (int r = 0; r < k - 1; ++r) {
+    const u64* cr = consts + (int64_t)r * t * NW;
+    for (int e = 0; e < t; ++e)
+      mont_add(c.f, st + e * NW, cr + e * NW, st + e * NW);
+    // Sparse apply: out0 = row0 · x;  rest_i = col0_i * x0 + x_i.
+    const u64* r0 = row0 + (int64_t)r * t * NW;
+    const u64* c0 = col0 + (int64_t)r * (t - 1) * NW;
+    u64 acc[NW] = {0};
+    for (int j = 0; j < t; ++j) {
+      u64 prod[NW];
+      mont_mul(c.f, r0 + j * NW, st + j * NW, prod);
+      mont_add(c.f, acc, prod, acc);
+    }
+    for (int i = 1; i < t; ++i) {
+      u64 prod[NW];
+      mont_mul(c.f, c0 + (i - 1) * NW, st, prod);
+      mont_add(c.f, st + i * NW, prod, st + i * NW);
+    }
+    std::memcpy(st, acc, NW * sizeof(u64));
+    mont_pow(c.f, st, c.alpha, st);
+  }
+  // Trailing dense matrix.
+  for (int i = 0; i < t; ++i) {
+    u64 acc[NW] = {0};
+    for (int j = 0; j < t; ++j) {
+      u64 prod[NW];
+      mont_mul(c.f, dense + ((int64_t)i * t + j) * NW, st + j * NW, prod);
+      mont_add(c.f, acc, prod, acc);
+    }
+    std::memcpy(scratch + i * NW, acc, NW * sizeof(u64));
+  }
+  std::memcpy(st, scratch, (size_t)t * NW * sizeof(u64));
+}
+
 inline void permute_one(const PoseidonCtx& c, u64* st, u64* scratch) {
   const int half = c.full_rounds / 2;
   const int rounds = c.full_rounds + c.partial_rounds;
   for (int r = 0; r < half; ++r) one_round(c, r, true, st, scratch);
-  for (int r = half; r < half + c.partial_rounds; ++r)
-    one_round(c, r, false, st, scratch);
+  if (c.opt != nullptr && c.partial_rounds >= 2) {
+    partial_chain_opt(c, st, scratch);
+  } else {
+    for (int r = half; r < half + c.partial_rounds; ++r)
+      one_round(c, r, false, st, scratch);
+  }
   for (int r = half + c.partial_rounds; r < rounds; ++r)
     one_round(c, r, true, st, scratch);
 }
@@ -156,11 +215,13 @@ extern "C" {
 // fctx: p (4 x u64 LE) ‖ n0inv (1 x u64)
 // ark:  (full_rounds + partial_rounds) * t elements, mds: t * t elements,
 //       each element 4 x u64 LE Montgomery form.
+// opt:  nullable packed optimized-partial-round tables (see PoseidonCtx).
 // states: n * t elements, Montgomery form, permuted IN PLACE.
+// n_threads: worker threads for the batch (<=1 = single-threaded).
 void poseidon_permute_host(const u64* fctx, int32_t t, int32_t alpha,
                            int32_t full_rounds, int32_t partial_rounds,
-                           const u64* ark, const u64* mds, u64* states,
-                           int64_t n) {
+                           const u64* ark, const u64* mds, const u64* opt,
+                           u64* states, int64_t n, int32_t n_threads) {
   PoseidonCtx c;
   std::memcpy(c.f.p, fctx, NW * sizeof(u64));
   c.f.n0inv = fctx[NW];
@@ -170,9 +231,25 @@ void poseidon_permute_host(const u64* fctx, int32_t t, int32_t alpha,
   c.partial_rounds = partial_rounds;
   c.ark = ark;
   c.mds = mds;
-  std::vector<u64> scratch((size_t)t * NW);
-  for (int64_t i = 0; i < n; ++i)
-    permute_one(c, states + (int64_t)i * t * NW, scratch.data());
+  c.opt = opt;
+  auto run = [&](int64_t lo, int64_t hi) {
+    std::vector<u64> scratch((size_t)t * NW);
+    for (int64_t i = lo; i < hi; ++i)
+      permute_one(c, states + (int64_t)i * t * NW, scratch.data());
+  };
+  if (n_threads <= 1 || n < 2 * n_threads) {
+    run(0, n);
+    return;
+  }
+  std::vector<std::thread> workers;
+  int64_t per = (n + n_threads - 1) / n_threads;
+  for (int w = 0; w < n_threads; ++w) {
+    int64_t lo = (int64_t)w * per;
+    if (lo >= n) break;
+    int64_t hi = lo + per < n ? lo + per : n;
+    workers.emplace_back(run, lo, hi);
+  }
+  for (auto& th : workers) th.join();
 }
 
 // Duplex-sponge segment driver: runs an absorb/squeeze schedule over a live
@@ -186,9 +263,9 @@ void poseidon_permute_host(const u64* fctx, int32_t t, int32_t alpha,
 void poseidon_sponge_run(const u64* fctx, int32_t t, int32_t alpha,
                          int32_t full_rounds, int32_t partial_rounds,
                          int32_t rate, int32_t capacity, const u64* ark,
-                         const u64* mds, const int32_t* steps, int64_t n_steps,
-                         const u64* elems, u64* out, u64* state_io,
-                         int32_t* bk) {
+                         const u64* mds, const u64* opt, const int32_t* steps,
+                         int64_t n_steps, const u64* elems, u64* out,
+                         u64* state_io, int32_t* bk) {
   PoseidonCtx c;
   std::memcpy(c.f.p, fctx, NW * sizeof(u64));
   c.f.n0inv = fctx[NW];
@@ -198,6 +275,7 @@ void poseidon_sponge_run(const u64* fctx, int32_t t, int32_t alpha,
   c.partial_rounds = partial_rounds;
   c.ark = ark;
   c.mds = mds;
+  c.opt = opt;
 
   std::vector<u64> state(state_io, state_io + (size_t)t * NW);
   std::vector<u64> scratch((size_t)t * NW);

@@ -30,6 +30,7 @@ and ``host_run_schedule`` raises ``RuntimeError`` (callers check
 from __future__ import annotations
 
 import functools
+import os
 from dataclasses import dataclass
 
 import numpy as np
@@ -63,6 +64,11 @@ class _HostTables:
     fctx: np.ndarray  # (5,) u64: p (4 LE words) + n0inv
     ark: np.ndarray   # (R*t*4,) u64, Montgomery
     mds: np.ndarray   # (t*t*4,) u64, Montgomery
+    opt: np.ndarray   # packed sparse-MDS optimized-partial tables, or None
+
+    @property
+    def opt_ptr(self) -> int:
+        return 0 if self.opt is None else self.opt.ctypes.data
 
 
 def _to_mont_words(p: int, values) -> np.ndarray:
@@ -96,14 +102,33 @@ def _tables(cfg: PoseidonConfig) -> _HostTables:
     fctx[4] = (-pow(p, -1, 1 << 64)) % (1 << 64)
     ark = _to_mont_words(p, [a for row in cfg.ark for a in row]).reshape(-1)
     mds = _to_mont_words(p, [m for row in cfg.mds for m in row]).reshape(-1)
-    return _HostTables(fctx=fctx, ark=ark, mds=mds)
+    opt = None
+    if cfg.partial_rounds >= 2:
+        # Same exact-identity sparse decomposition the device tiers use —
+        # 2t-1 products per partial round instead of t^2.
+        from .optimized import optimized_partial_layers
+
+        lay = optimized_partial_layers(cfg)
+        flat = list(lay.c_first)
+        for row in lay.constants:
+            flat.extend(row)
+        for sp in lay.sparse:
+            flat.extend(sp.row0)
+        for sp in lay.sparse:
+            flat.extend(sp.col0)
+        for row in lay.dense:
+            flat.extend(row)
+        opt = np.ascontiguousarray(_to_mont_words(p, flat).reshape(-1))
+    return _HostTables(fctx=fctx, ark=ark, mds=mds, opt=opt)
 
 
-def host_permute_states(cfg: PoseidonConfig, states) -> list:
+def host_permute_states(cfg: PoseidonConfig, states, n_threads: int = 0) -> list:
     """Permute ``n`` canonical-int states (flat list of n*t ints) natively.
 
-    Returns the permuted flat list.  Raises ``RuntimeError`` when the native
-    runtime is unavailable (callers should gate on :func:`host_available`).
+    ``n_threads``: worker threads for the batch; 0 = auto (one per core for
+    large batches, single-threaded for small ones).  Returns the permuted flat
+    list.  Raises ``RuntimeError`` when the native runtime is unavailable
+    (callers should gate on :func:`host_available`).
     """
     lib = get_poseidon_lib()
     if lib is None or not _supported(cfg):
@@ -112,11 +137,14 @@ def host_permute_states(cfg: PoseidonConfig, states) -> list:
     n, rem = divmod(len(states), t)
     if rem:
         raise ValueError(f"states length {len(states)} not a multiple of t={t}")
+    if n_threads <= 0:
+        n_threads = min(os.cpu_count() or 1, 16) if n >= 64 else 1
     tab = _tables(cfg)
     plane = np.ascontiguousarray(_to_mont_words(cfg.field.modulus, states))
     lib.poseidon_permute_host(
         tab.fctx.ctypes.data, t, cfg.alpha, cfg.full_rounds, cfg.partial_rounds,
-        tab.ark.ctypes.data, tab.mds.ctypes.data, plane.ctypes.data, n,
+        tab.ark.ctypes.data, tab.mds.ctypes.data, tab.opt_ptr,
+        plane.ctypes.data, n, n_threads,
     )
     return _from_mont_words(cfg.field.modulus, plane)
 
@@ -148,7 +176,7 @@ class HostPoseidonSponge(OraclePoseidonSponge):
         self._lib.poseidon_permute_host(
             tab.fctx.ctypes.data, cfg.t, cfg.alpha, cfg.full_rounds,
             cfg.partial_rounds, tab.ark.ctypes.data, tab.mds.ctypes.data,
-            plane.ctypes.data, 1,
+            tab.opt_ptr, plane.ctypes.data, 1, 1,
         )
         self.state = _from_mont_words(cfg.field.modulus, plane)
 
@@ -214,7 +242,7 @@ def host_run_schedule(cfg, steps, elems, state: SpongeState = None):
     lib.poseidon_sponge_run(
         tab.fctx.ctypes.data, cfg.t, cfg.alpha, cfg.full_rounds,
         cfg.partial_rounds, cfg.rate, cfg.capacity,
-        tab.ark.ctypes.data, tab.mds.ctypes.data,
+        tab.ark.ctypes.data, tab.mds.ctypes.data, tab.opt_ptr,
         step_arr.ctypes.data, len(steps),
         ein.ctypes.data, out.ctypes.data, st.ctypes.data, bk.ctypes.data,
     )

@@ -44,7 +44,7 @@ def _compile_shared(src: pathlib.Path, stem: str) -> Optional[ctypes.CDLL]:
         for cc in ("c++", "g++", "clang++"):
             try:
                 subprocess.run(
-                    [cc, "-O3", "-shared", "-fPIC", "-o", str(tmp), str(src)],
+                    [cc, "-O3", "-shared", "-fPIC", "-pthread", "-o", str(tmp), str(src)],
                     check=True,
                     capture_output=True,
                     timeout=120,
@@ -107,8 +107,10 @@ def _build_poseidon() -> Optional[ctypes.CDLL]:
         ctypes.c_int32,   # partial_rounds
         ctypes.c_void_p,  # ark (R*t*4 u64, Montgomery)
         ctypes.c_void_p,  # mds (t*t*4 u64, Montgomery)
+        ctypes.c_void_p,  # opt (nullable packed optimized-partial tables)
         ctypes.c_void_p,  # states (n*t*4 u64, in-place)
         ctypes.c_int64,   # n
+        ctypes.c_int32,   # n_threads
     ]
     lib.poseidon_sponge_run.argtypes = [
         ctypes.c_void_p,  # fctx
@@ -120,6 +122,7 @@ def _build_poseidon() -> Optional[ctypes.CDLL]:
         ctypes.c_int32,   # capacity
         ctypes.c_void_p,  # ark
         ctypes.c_void_p,  # mds
+        ctypes.c_void_p,  # opt (nullable)
         ctypes.c_void_p,  # steps (n_steps x {kind, count} int32)
         ctypes.c_int64,   # n_steps
         ctypes.c_void_p,  # elems (absorbed, Montgomery u64 words)
