@@ -84,6 +84,47 @@ def bench_batched_permutation(log_batch=20, reps=6):
             "value": round(rate), "unit": "perms/s"}
 
 
+def bench_poseidon2(log_batch=20, reps=6):
+    """Additive capability: Poseidon2 rate-2 permutation throughput (REDC-free
+    linear layers; ops/pallas_p2.py).  Parity-gated on TPU: random lanes are
+    checked against the scalar oracle before timing."""
+    from sponge_tpu import BLS12_381_FR, OraclePoseidon2Sponge, get_default_poseidon2_parameters
+    from sponge_tpu.poseidon2.permutation import batched_permute2
+    from sponge_tpu.poseidon.permutation import zero_state
+
+    import bench as root_bench
+
+    cfg = get_default_poseidon2_parameters(BLS12_381_FR, 2)
+    fs = cfg.field
+    B = 1 << log_batch
+    state_np = np.zeros((cfg.t, fs.nlimbs, B), dtype=np.int32)
+    vals = None
+    if jax.default_backend() == "tpu":
+        lanes = 512
+        vals = root_bench._random_state_ints(cfg, lanes, seed=20260817)
+        state_np[:, :, :lanes] = np.stack(
+            [fs.ints_to_mont_plane(row) for row in vals], axis=0
+        )
+    out = batched_permute2(cfg, jnp.asarray(state_np))
+    if vals is not None:
+        out_np = np.asarray(out[:, :, :512])
+        for b in range(0, 512, 61):
+            o = OraclePoseidon2Sponge(cfg)
+            o.state = [vals[i][b] for i in range(cfg.t)]
+            o.permute()
+            got = [fs.mont_limbs_to_int(out_np[i][:, b]) for i in range(cfg.t)]
+            if got != o.state:
+                raise RuntimeError(f"Poseidon2 kernel parity failure at lane {b}")
+    sync(out)
+    t0 = time.time()
+    for _ in range(reps):
+        out = batched_permute2(cfg, out)
+    sync(out)
+    pps = reps * B / (time.time() - t0)
+    return {"name": "Poseidon2 rate-2 permutation (BLS12-381 Fr, B=2^%d, oracle-gated)" % log_batch,
+            "value": int(pps), "unit": "perms/s"}
+
+
 def bench_bn254(log_batch=17, reps=4):
     """Config 2: BN254 Fr parameterization (rate 3, alpha=5) throughput."""
     from sponge_tpu import BN254_FR, get_default_poseidon_parameters
@@ -232,6 +273,7 @@ def main():
     rows.append(bench_parity())
     rows.append(bench_kernel_parity())
     rows.append(bench_batched_permutation(14 if args.quick else 20))
+    rows.append(bench_poseidon2(14 if args.quick else 20))
     rows.append(bench_bn254(12 if args.quick else 17))
     rows.append(bench_merkle(14 if args.quick else 24))
     rows.append(bench_transcript(1 << (10 if args.quick else 14)))

@@ -1,0 +1,83 @@
+"""Poseidon2 kernel on-TPU parity + throughput probe.
+
+Parity-checks the Mosaic-lowered pallas_p2 kernel lane-by-lane against the
+scalar oracle on random full-range states, then times it — same protocol as
+the Poseidon bench (bench.py).  Poseidon2's linear layers are REDC-free, so
+the expected headroom over the Poseidon rate-2 number (~6.9M perms/s) comes
+from fewer Montgomery reductions per round.
+
+Run: python bench/p2_probe.py [rate]
+"""
+
+from __future__ import annotations
+
+import json
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    rate = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+    jax.config.update("jax_compilation_cache_dir", "/tmp/sponge_tpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    import bench as root_bench
+    from sponge_tpu import BLS12_381_FR as fs
+    from sponge_tpu import OraclePoseidon2Sponge, get_default_poseidon2_parameters
+    from sponge_tpu.ops.pallas_p2 import p2_permute_fn
+
+    cfg = get_default_poseidon2_parameters(fs, rate)
+    B = 1 << 20
+
+    lanes = 512
+    vals = root_bench._random_state_ints(cfg, lanes)
+    state_np = np.zeros((cfg.t, fs.nlimbs, B), dtype=np.int32)
+    state_np[:, :, :lanes] = np.stack(
+        [fs.ints_to_mont_plane(row) for row in vals], axis=0
+    )
+
+    fn = p2_permute_fn(cfg)
+    state = jnp.asarray(state_np)
+    out = fn(state)
+    out_np = np.asarray(out[:, :, :lanes])
+    for b in range(0, lanes, 61):
+        o = OraclePoseidon2Sponge(cfg)
+        o.state = [vals[i][b] for i in range(cfg.t)]
+        o.permute()
+        got = [fs.mont_limbs_to_int(out_np[i][:, b]) for i in range(cfg.t)]
+        if got != o.state:
+            raise RuntimeError(f"PARITY FAILURE at lane {b}: {got} != {o.state}")
+        if any(v >= 2 * fs.modulus for v in got):
+            raise RuntimeError(f"output invariant (< 2p) violated at lane {b}")
+    print(json.dumps({"parity": "ok", "rate": rate, "lanes_checked": lanes // 61 + 1}))
+
+    # Timing: chain kernel executions, force completion by fetching a slice.
+    iters = 30
+    cur = out
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        cur = fn(cur)
+    _ = np.asarray(cur[0, 0, :8])
+    dt = time.perf_counter() - t0
+    pps = iters * B / dt
+    print(
+        json.dumps(
+            {
+                "metric": f"poseidon2_rate{rate}_bls12_381_fr_perms_per_sec",
+                "value": int(pps),
+                "unit": "perms/s",
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

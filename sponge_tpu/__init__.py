@@ -50,6 +50,12 @@ from .poseidon.params import (
     get_default_poseidon_parameters,
     poseidon_test_fixture,
 )
+from .poseidon2 import (
+    OraclePoseidon2Sponge,
+    Poseidon2Config,
+    generate_poseidon2_parameters,
+    get_default_poseidon2_parameters,
+)
 from .lazy import LazyPoseidonSponge
 from .poseidon.host import (
     HostPoseidonSponge,

@@ -179,8 +179,13 @@ def _norm1_multi(limbs_list):
     return outs
 
 
-def _redc_multi(L, cols_list, p_limbs, n0inv):
-    """_redc over several independent column lists, steps interleaved."""
+def _redc_multi(L, cols_list, p_limbs, n0inv, final_norm=None):
+    """_redc over several independent column lists, steps interleaved.
+
+    ``final_norm`` overrides the closing carry normalization (default
+    ``_norm1_multi``); used by the Poseidon2 kernel to substitute a
+    top-carry-folding norm for inputs whose values may reach the Montgomery
+    radix R (ops/pallas_p2.py)."""
     n = len(cols_list)
     cs = [None] * n
     for i in range(L):
@@ -199,19 +204,26 @@ def _redc_multi(L, cols_list, p_limbs, n0inv):
         res = list(cols_list[e][L : 2 * L])
         res[0] = res[0] + cs[e]
         res_list.append(res)
-    return _norm1_multi(res_list)
+    return (final_norm or _norm1_multi)(res_list)
 
 
-def _pow_alpha_multi(L, xs, alpha, p_limbs, n0inv):
+def _pow_alpha_multi(L, xs, alpha, p_limbs, n0inv, final_norm=None):
     """x^alpha for several independent elements, square/multiply steps emitted
-    in lockstep so the per-step REDC chains interleave."""
+    in lockstep so the per-step REDC chains interleave.  ``final_norm`` is
+    threaded to every intermediate REDC (see ``_redc_multi``)."""
     bits = bin(alpha)[2:]
     accs = list(xs)
     for bit in bits[1:]:
-        accs = _redc_multi(L, [_sqr_cols(L, a) for a in accs], p_limbs, n0inv)
+        accs = _redc_multi(
+            L, [_sqr_cols(L, a) for a in accs], p_limbs, n0inv, final_norm
+        )
         if bit == "1":
             accs = _redc_multi(
-                L, [_mul_cols(L, a, x) for a, x in zip(accs, xs)], p_limbs, n0inv
+                L,
+                [_mul_cols(L, a, x) for a, x in zip(accs, xs)],
+                p_limbs,
+                n0inv,
+                final_norm,
             )
     return accs
 

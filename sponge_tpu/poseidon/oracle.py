@@ -272,7 +272,7 @@ class OraclePoseidonSponge:
         return new
 
     def clone(self) -> "OraclePoseidonSponge":
-        new = OraclePoseidonSponge(self.cfg)
+        new = type(self)(self.cfg)  # subclass-safe (e.g. OraclePoseidon2Sponge)
         new.state = list(self.state)
         new.mode = self.mode
         new.index = self.index

@@ -87,6 +87,13 @@ def batched_permute(cfg: PoseidonConfig, state: jnp.ndarray, backend: str = "aut
     the fastest tier); otherwise the pure-XLA tier.  ``backend`` may force
     "cios" / "pallas" (the reference-style fused kernel) / "xla".
     """
+    # Other permutation families (e.g. Poseidon2) plug into the same duplex
+    # sponge by providing a ``batched_permute`` hook on their config type —
+    # everything above the permutation (sponge, transcripts, Merkle,
+    # checkpointing) is config-agnostic.
+    if not isinstance(cfg, PoseidonConfig):
+        return cfg.batched_permute(state, backend)
+
     from ..ops.pallas_cios import TILE_LANES, cios_permute_fn
     from ..ops.pallas_permute import pallas_permute_fn, tile_for
 

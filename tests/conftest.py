@@ -72,3 +72,22 @@ def tiny_poseidon_config(
         rate=t - 1,
         capacity=1,
     )
+
+
+def tiny_poseidon2_config(
+    rate: int = 2,
+    alpha: int = 5,
+    full_rounds: int = 4,
+    partial_rounds: int = 8,
+):
+    """Deterministic small Poseidon2 config over TINY_FR (real Grain-derived
+    constants — exercises the production parameter-generation path).
+
+    The tiny field's small R/p headroom makes element values hit the
+    Montgomery radix within a few internal rounds, so these configs exercise
+    the Poseidon2 kernel's rho-folding hard (ops/pallas_p2.py)."""
+    from sponge_tpu.poseidon2 import generate_poseidon2_parameters
+
+    return generate_poseidon2_parameters(
+        TINY_FR, rate, alpha, full_rounds, partial_rounds
+    )

@@ -1,0 +1,303 @@
+"""Poseidon2 permutation family: oracle / XLA tier / Pallas kernel parity and
+sponge integration.
+
+The Poseidon2 capability is ADDITIVE (the reference crate has no Poseidon2),
+so the scalar python-int oracle is the ground truth: the device tiers must
+match it bit-for-bit, and the duplex machinery shared with Poseidon
+(/root/reference/src/poseidon/mod.rs:121-182) must behave identically when
+driven by a Poseidon2Config.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from conftest import TINY_FR, tiny_poseidon2_config
+from sponge_tpu import (
+    BLS12_381_FR,
+    OraclePoseidon2Sponge,
+    Poseidon2Config,
+    PoseidonSponge,
+    generate_poseidon2_parameters,
+    get_default_poseidon2_parameters,
+)
+from sponge_tpu.poseidon2.params import external_matrix, internal_diag
+from sponge_tpu.poseidon2.permutation import (
+    check_value_bounds,
+    poseidon2_permute_jit,
+)
+
+
+def rand_ints(fs, n, seed=20260817):
+    rng = np.random.default_rng(seed)
+    return [int(v) % fs.modulus for v in rng.integers(0, 1 << 62, size=n)]
+
+
+# ---------------------------------------------------------------------------
+# Parameter generation
+# ---------------------------------------------------------------------------
+
+
+def test_external_matrix_shapes():
+    assert external_matrix(2) == ((2, 1), (1, 2))
+    assert external_matrix(3) == ((2, 1, 1), (1, 2, 1), (1, 1, 2))
+    m4 = external_matrix(4)
+    assert m4[0] == (5, 7, 1, 3)
+    m8 = external_matrix(8)
+    # Block circulant: diagonal blocks 2*M4, off-diagonal M4.
+    assert m8[0][:4] == (10, 14, 2, 6) and m8[0][4:] == (5, 7, 1, 3)
+    assert m8[4][:4] == (5, 7, 1, 3) and m8[4][4:] == (10, 14, 2, 6)
+    with pytest.raises(ValueError):
+        external_matrix(5)
+
+
+def test_fixed_small_diagonals():
+    assert internal_diag(2, TINY_FR, None) == (2, 3)
+    assert internal_diag(3, TINY_FR, None) == (2, 2, 3)
+
+
+def test_generation_is_deterministic():
+    a = generate_poseidon2_parameters(TINY_FR, 2, 5, 4, 8)
+    b = generate_poseidon2_parameters(TINY_FR, 2, 5, 4, 8)
+    assert a == b
+    assert len(a.external_rc) == 4 and len(a.internal_rc) == 8
+
+
+def test_default_parameters_bls():
+    cfg = get_default_poseidon2_parameters(BLS12_381_FR, 2)
+    assert cfg.alpha == 17 and cfg.full_rounds == 8 and cfg.partial_rounds == 31
+    assert cfg.mat_e == ((2, 1, 1), (1, 2, 1), (1, 1, 2))
+    assert cfg.mat_i_diag == (2, 2, 3)
+    check_value_bounds(cfg)  # XLA tier bound analysis must accept defaults
+
+
+def test_config_validation():
+    cfg = tiny_poseidon2_config()
+    with pytest.raises(ValueError):
+        Poseidon2Config(
+            field=TINY_FR,
+            full_rounds=5,  # odd
+            partial_rounds=3,
+            alpha=5,
+            external_rc=cfg.external_rc[:5],
+            internal_rc=cfg.internal_rc[:3],
+            mat_e=cfg.mat_e,
+            mat_i_diag=cfg.mat_i_diag,
+            rate=2,
+        )
+
+
+# ---------------------------------------------------------------------------
+# Golden regression: self-generated instance, frozen squeeze values.
+# ---------------------------------------------------------------------------
+
+
+def test_oracle_golden_regression_tiny():
+    """Frozen end-to-end vector for the tiny-field instance: any change to
+    constant derivation, matrices, or the round schedule shows up here."""
+    s = OraclePoseidon2Sponge(tiny_poseidon2_config())
+    s.absorb_field_elements([0, 1, 2])
+    got = s.squeeze_native_field_elements(3)
+    assert got == [2041425071, 11606794380, 33819483313]
+
+
+# ---------------------------------------------------------------------------
+# XLA tier vs oracle
+# ---------------------------------------------------------------------------
+
+
+def _xla_vs_oracle(cfg, B=8):
+    fs = cfg.field
+    vals = [rand_ints(fs, B, seed=7 + cfg.t) for _ in range(cfg.t)]
+    state = jnp.asarray(
+        np.stack([fs.ints_to_mont_plane(row) for row in vals], axis=0)
+    )
+    out = np.asarray(poseidon2_permute_jit(cfg)(state))
+    for b in range(B):
+        o = OraclePoseidon2Sponge(cfg)
+        o.state = [vals[i][b] for i in range(cfg.t)]
+        o.permute()
+        got = [fs.mont_plane_to_ints(out[i][:, b : b + 1])[0] for i in range(cfg.t)]
+        assert got == o.state, b
+
+
+def test_xla_tier_tiny_t3():
+    _xla_vs_oracle(tiny_poseidon2_config())
+
+
+def test_xla_tier_tiny_t4_montgomery_diag():
+    """t=4 samples a full-range Grain diagonal — the Montgomery-diagonal path."""
+    cfg = tiny_poseidon2_config(rate=3, alpha=5, full_rounds=4, partial_rounds=6)
+    assert any((d - 1) % TINY_FR.modulus >= 16 for d in cfg.mat_i_diag)
+    _xla_vs_oracle(cfg)
+
+
+def test_xla_tier_tiny_t8_block_circulant():
+    cfg = tiny_poseidon2_config(rate=7, alpha=5, full_rounds=4, partial_rounds=4)
+    _xla_vs_oracle(cfg)
+
+
+def test_xla_tier_bls_default():
+    _xla_vs_oracle(get_default_poseidon2_parameters(BLS12_381_FR, 2))
+
+
+# ---------------------------------------------------------------------------
+# Pallas kernel body (tiny field, exact kernel function with mock refs — the
+# same CI pattern as test_pallas_kernels._run_cios_kernel_body).
+# ---------------------------------------------------------------------------
+
+
+class _FakeRef:
+    def __init__(self, arr):
+        self.arr = jnp.asarray(arr)
+
+    def __getitem__(self, idx):
+        return self.arr[idx]
+
+    def __setitem__(self, idx, value):
+        self.arr = self.arr.at[idx].set(value)
+
+
+def _run_p2_kernel_body(cfg, B=256, stride=29, lane_streams=1):
+    import jax
+
+    from sponge_tpu.ops import pallas_p2 as pp
+
+    fs = cfg.field
+    L, t = fs.nlimbs, cfg.t
+    vals = [rand_ints(fs, B, seed=100 + t + lane_streams) for _ in range(t)]
+    st4 = jnp.asarray(
+        np.stack([fs.ints_to_mont_plane(row) for row in vals], axis=0)
+    ).reshape(t, L, B // 128, 128)
+
+    ext_np = np.stack(
+        [
+            np.concatenate([fs.int_to_mont_limbs(c) for c in row])
+            for row in cfg.external_rc
+        ]
+    ).astype(np.int32)
+    int_np = np.stack(
+        [fs.int_to_mont_limbs(c) for c in cfg.internal_rc]
+    ).astype(np.int32)
+
+    @jax.jit
+    def run(ext, internal, st):
+        out_ref = _FakeRef(jnp.zeros_like(st))
+        pp._p2_kernel(
+            _FakeRef(ext), _FakeRef(internal), _FakeRef(st), out_ref,
+            cfg=cfg, lane_streams=lane_streams,
+        )
+        return out_ref.arr
+
+    out = np.asarray(run(ext_np, int_np, st4)).reshape(t, L, B)
+
+    fold_exercised = False
+    for b in range(0, B, stride):
+        o = OraclePoseidon2Sponge(cfg)
+        o.state = [vals[i][b] for i in range(t)]
+        o.permute()
+        got = [fs.mont_limbs_to_int(out[i][:, b]) for i in range(t)]
+        assert got == o.state, b
+        fold_exercised = True
+    assert fold_exercised
+    # Output invariant: values < 2p (required by the sponge's absorb-add and
+    # from_mont downstream).
+    for i in range(t):
+        for b in range(0, B, stride):
+            assert fs.mont_limbs_to_int(out[i][:, b]) < 2 * fs.modulus
+
+
+def test_p2_kernel_body_tiny_small_diag():
+    """t=3 (small diagonal, multiplication-free internal layer); 8 internal
+    rounds drive values into the rho-folding regime."""
+    _run_p2_kernel_body(tiny_poseidon2_config(partial_rounds=8))
+
+
+def test_p2_kernel_body_tiny_alpha17():
+    _run_p2_kernel_body(
+        tiny_poseidon2_config(rate=2, alpha=17, full_rounds=4, partial_rounds=8)
+    )
+
+
+def test_p2_kernel_body_tiny_montgomery_diag():
+    cfg = tiny_poseidon2_config(rate=3, alpha=5, full_rounds=4, partial_rounds=6)
+    _run_p2_kernel_body(cfg)
+
+
+def test_p2_kernel_body_lane_streams():
+    _run_p2_kernel_body(
+        tiny_poseidon2_config(alpha=17, partial_rounds=8), lane_streams=2
+    )
+
+
+def test_p2_kernel_interpret_tiny():
+    """Full pallas_call through the interpreter (block specs, SMEM plumbing)."""
+    from sponge_tpu.ops.pallas_p2 import p2_permute_fn
+
+    cfg = tiny_poseidon2_config(partial_rounds=6)
+    fs = cfg.field
+    B = 8 * 128
+    vals = [rand_ints(fs, B, seed=55) for _ in range(cfg.t)]
+    state = jnp.asarray(
+        np.stack([fs.ints_to_mont_plane(row) for row in vals], axis=0)
+    )
+    out = np.asarray(
+        p2_permute_fn(cfg, interpret=True, sublanes=8, lane_streams=1)(state)
+    )
+    for b in range(0, B, 173):
+        o = OraclePoseidon2Sponge(cfg)
+        o.state = [vals[i][b] for i in range(cfg.t)]
+        o.permute()
+        got = [fs.mont_limbs_to_int(out[i][:, b]) for i in range(cfg.t)]
+        assert got == o.state, b
+
+
+# ---------------------------------------------------------------------------
+# Duplex sponge integration (shared machinery driven by a Poseidon2Config)
+# ---------------------------------------------------------------------------
+
+
+def test_batched_sponge_matches_oracle():
+    cfg = tiny_poseidon2_config()
+    B = 4
+    dev = PoseidonSponge(cfg, batch_size=B)
+    oracles = [OraclePoseidon2Sponge(cfg) for _ in range(B)]
+
+    from sponge_tpu import Batched, Fp
+
+    lanes = [[i + 1, 7 * i + 2, 3] for i in range(B)]
+    dev.absorb(Batched(lanes=[[Fp(v, TINY_FR) for v in lane] for lane in lanes]))
+    for o, lane in zip(oracles, lanes):
+        o.absorb_field_elements(lane)
+    got = dev.squeeze_native_field_elements(4)
+    for b in range(B):
+        assert got[b] == oracles[b].squeeze_native_field_elements(4)
+    # Mode flip back to absorbing, then squeeze bytes.
+    dev.absorb(Batched(lanes=[[Fp(b, TINY_FR)] for b in range(B)]))
+    for b, o in enumerate(oracles):
+        o.absorb_field_elements([b])
+    got_bytes = dev.squeeze_bytes(9)
+    for b in range(B):
+        assert got_bytes[b] == bytes(oracles[b].squeeze_bytes(9))
+
+
+def test_oracle_fork_clone_subclass_safe():
+    cfg = tiny_poseidon2_config()
+    s = OraclePoseidon2Sponge(cfg)
+    s.absorb_field_elements([5, 6])
+    f = s.fork(b"domain")
+    assert isinstance(f, OraclePoseidon2Sponge)
+    # Forked sponge diverges from the original.
+    assert f.squeeze_native_field_elements(1) != s.squeeze_native_field_elements(1)
+
+
+def test_sponge_state_roundtrip():
+    cfg = tiny_poseidon2_config()
+    s = OraclePoseidon2Sponge(cfg)
+    s.absorb_field_elements([9, 8, 7])
+    st = s.into_state()
+    r = OraclePoseidon2Sponge.from_state(st, cfg)
+    assert r.squeeze_native_field_elements(2) == s.squeeze_native_field_elements(2)
