@@ -28,28 +28,41 @@ from .poseidon.oracle import SpongeState
 from .sponge import PoseidonSponge
 
 
-def _cfg_fingerprint(cfg: PoseidonConfig) -> str:
-    # The ark/mds tables enter as a sha256 over their full canonical
+def _json_safe(v):
+    if isinstance(v, int):
+        return str(v)  # unbounded field elements serialize as decimal strings
+    if isinstance(v, (tuple, list)):
+        return [_json_safe(x) for x in v]
+    return v
+
+
+def _cfg_fingerprint(cfg) -> str:
+    # Every constant table enters as a sha256 over its full canonical
     # serialization — two user configs sharing geometry but differing anywhere
     # in the tables must NOT validate against each other's checkpoints.
-    tables = hashlib.sha256(
-        json.dumps(
-            {
-                "modulus": str(cfg.field.modulus),
-                "ark": [[str(v) for v in row] for row in cfg.ark],
-                "mds": [[str(v) for v in row] for row in cfg.mds],
-            }
-        ).encode()
+    # Config-agnostic: all dataclass fields of the permutation config
+    # (PoseidonConfig's ark/mds, Poseidon2Config's rc/matrix data, any future
+    # family) are hashed generically.
+    import dataclasses
+
+    tables = {"modulus": str(cfg.field.modulus)}
+    for f in dataclasses.fields(cfg):
+        if f.name == "field":
+            continue
+        tables[f.name] = _json_safe(getattr(cfg, f.name))
+    tables_hash = hashlib.sha256(
+        json.dumps(tables, sort_keys=True).encode()
     ).hexdigest()
     return json.dumps(
         {
+            "kind": type(cfg).__name__,
             "field": cfg.field.name,
             "rate": cfg.rate,
             "capacity": cfg.capacity,
             "alpha": cfg.alpha,
             "full_rounds": cfg.full_rounds,
             "partial_rounds": cfg.partial_rounds,
-            "tables_sha256": tables,
+            "tables_sha256": tables_hash,
         }
     )
 

@@ -301,3 +301,97 @@ def test_sponge_state_roundtrip():
     st = s.into_state()
     r = OraclePoseidon2Sponge.from_state(st, cfg)
     assert r.squeeze_native_field_elements(2) == s.squeeze_native_field_elements(2)
+
+
+# ---------------------------------------------------------------------------
+# Shared-machinery integration: transcripts, Merkle, lazy sponge, checkpoints
+# all run on a Poseidon2Config through the config-dispatch hook.
+# ---------------------------------------------------------------------------
+
+
+def test_compiled_transcript_poseidon2():
+    import jax.numpy as jnp
+
+    from sponge_tpu.transcript import Absorb, SqueezeNative, compile_transcript
+
+    cfg = tiny_poseidon2_config()
+    fs = cfg.field
+    steps = [Absorb(3), SqueezeNative(2), Absorb(1), SqueezeNative(1)]
+    B = 4
+    vals = [rand_ints(fs, B, seed=42 + k) for k in range(4)]
+    plane = jnp.asarray(
+        np.stack([fs.ints_to_mont_plane(row) for row in vals], axis=0)
+    )
+    out = np.asarray(compile_transcript(cfg, steps)(plane))  # (3, L, B)
+    for b in range(B):
+        o = OraclePoseidon2Sponge(cfg)
+        o.absorb_field_elements([vals[0][b], vals[1][b], vals[2][b]])
+        want = o.squeeze_native_field_elements(2)
+        o.absorb_field_elements([vals[3][b]])
+        want += o.squeeze_native_field_elements(1)
+        got = [fs.limbs_to_int(out[k][:, b]) for k in range(3)]
+        assert got == want, b
+
+
+def test_merkle_root_poseidon2():
+    import jax.numpy as jnp
+
+    from sponge_tpu.hash import compress_pairs, merkle_root
+
+    cfg = tiny_poseidon2_config()
+    fs = cfg.field
+    N = 8
+    leaves_int = rand_ints(fs, N, seed=77)
+    leaves = jnp.asarray(fs.ints_to_mont_plane(leaves_int))
+    # merkle levels stay in Montgomery form (compress_pairs returns the raw
+    # permuted rate element).
+    root = fs.mont_limbs_to_int(np.asarray(merkle_root(cfg, leaves)))
+
+    # Host re-computation through the oracle-checked compress (2-to-1 = one
+    # duplex absorb of [l, r] + squeeze 1, matching hash.compress_pairs).
+    def compress2(l, r):
+        o = OraclePoseidon2Sponge(cfg)
+        o.absorb_field_elements([l, r])
+        return o.squeeze_native_field_elements(1)[0]
+
+    lvl = leaves_int
+    while len(lvl) > 1:
+        lvl = [compress2(lvl[i], lvl[i + 1]) for i in range(0, len(lvl), 2)]
+    assert root == lvl[0]
+
+
+def test_lazy_sponge_poseidon2():
+    from sponge_tpu import LazyPoseidonSponge
+
+    cfg = tiny_poseidon2_config()
+    B = 3
+    lazy = LazyPoseidonSponge(cfg, batch_size=B)
+    oracles = [OraclePoseidon2Sponge(cfg) for _ in range(B)]
+    lanes = [[b + 1, 5 * b + 2] for b in range(B)]
+    from sponge_tpu import Batched, Fp
+
+    lazy.absorb(Batched(lanes=[[Fp(v, TINY_FR) for v in lane] for lane in lanes]))
+    for o, lane in zip(oracles, lanes):
+        o.absorb_field_elements(lane)
+    got = lazy.squeeze_native_field_elements(3)
+    for b in range(B):
+        assert got[b] == oracles[b].squeeze_native_field_elements(3), b
+
+
+def test_checkpoint_roundtrip_poseidon2(tmp_path):
+    from sponge_tpu import Batched, Fp
+    from sponge_tpu.checkpoint import load_sponge, save_sponge
+
+    cfg = tiny_poseidon2_config()
+    s = PoseidonSponge(cfg, batch_size=2)
+    s.absorb(Batched(lanes=[[Fp(4, TINY_FR)], [Fp(9, TINY_FR)]]))
+    path = tmp_path / "p2_ckpt.npz"
+    save_sponge(path, s)
+    r = load_sponge(path, cfg)
+    assert r.squeeze_native_field_elements(2) == s.squeeze_native_field_elements(2)
+    # A Poseidon config with the same geometry must NOT validate (fingerprint
+    # includes the config kind and all constant tables).
+    from conftest import tiny_poseidon_config
+
+    with pytest.raises(ValueError):
+        load_sponge(path, tiny_poseidon_config())
