@@ -182,6 +182,25 @@ class PoseidonSponge:
             np.broadcast_to(col, (len(elems), fs.nlimbs, self.batch_size))
         )
 
+    def absorb_stream(self, chunks) -> int:
+        """Absorb an iterable of inputs larger than memory, chunk by chunk.
+
+        Each chunk may be a pre-encoded ``(k, L, B)`` Montgomery element plane
+        (fast path, zero host-side encoding) or any codec value / ``Batched``
+        accepted by :meth:`absorb`.  The duplex state machine is inherently
+        streaming (rate-chunked absorb loop, mod.rs:121-150), so this is pure
+        convenience: transcripts of unbounded length absorb in bounded memory.
+        Returns the number of chunks consumed.
+        """
+        n = 0
+        for chunk in chunks:
+            if isinstance(chunk, np.ndarray) and chunk.ndim == 3:
+                self.absorb_element_plane(chunk)
+            else:
+                self.absorb(chunk)
+            n += 1
+        return n
+
     def absorb_element_plane(self, elems: np.ndarray):
         """Absorb a pre-encoded (k, L, B) Montgomery element plane (fast path)."""
         if elems.shape[0] == 0:

@@ -215,3 +215,37 @@ def test_absorb_after_squeeze_flip():
         assert dev.squeeze_native_field_elements(1) == [
             o.squeeze_native_field_elements(1)
         ]
+
+
+def test_absorb_stream_matches_monolithic():
+    """absorb_stream over chunked planes/codec values == one-shot absorbs
+    (the duplex machine is inherently streaming; this pins the wrapper)."""
+    import numpy as np
+
+    from conftest import TINY_FR, tiny_poseidon_config
+    from sponge_tpu import Fp, PoseidonSponge
+    from sponge_tpu.sponge import encode_ints_plane
+
+    cfg = tiny_poseidon_config()
+    B = 2
+    vals = [[(7 * i + b) % TINY_FR.modulus for b in range(B)] for i in range(9)]
+
+    streamed = PoseidonSponge(cfg, batch_size=B)
+    # Mixed stream: two pre-encoded planes + one codec value broadcast.
+    n = streamed.absorb_stream(
+        iter(
+            [
+                encode_ints_plane(TINY_FR, vals[:5]),
+                encode_ints_plane(TINY_FR, vals[5:]),
+                Fp(11, TINY_FR),
+            ]
+        )
+    )
+    assert n == 3
+
+    oneshot = PoseidonSponge(cfg, batch_size=B)
+    oneshot.absorb_element_plane(encode_ints_plane(TINY_FR, vals))
+    oneshot.absorb(Fp(11, TINY_FR))
+
+    assert streamed.squeeze_native_field_elements(3) == \
+        oneshot.squeeze_native_field_elements(3)
