@@ -108,6 +108,37 @@ inline void mont_pow(const FieldCtx64& f, const u64* x, uint32_t alpha, u64* out
   std::memcpy(out, acc, NW * sizeof(u64));
 }
 
+// out = c * x mod p for a small plain integer c (double-and-add over
+// mont_add; scaling a Montgomery-form value by a plain int is
+// representation-preserving).  c = 0 zeroes, c = 1 copies.
+inline void mont_small_scale(const FieldCtx64& f, const u64* x, uint32_t c,
+                             u64* out) {
+  if (c == 0) {
+    std::memset(out, 0, NW * sizeof(u64));
+    return;
+  }
+  u64 acc[NW];
+  std::memcpy(acc, x, sizeof(acc));
+  int top = 31 - __builtin_clz(c);
+  for (int bit = top - 1; bit >= 0; --bit) {
+    mont_add(f, acc, acc, acc);
+    if ((c >> bit) & 1) mont_add(f, acc, x, acc);
+  }
+  std::memcpy(out, acc, sizeof(acc));
+}
+
+// Poseidon2 tables (ePrint 2023/323 round schedule; nullable in PoseidonCtx —
+// when set, permute_one runs the Poseidon2 schedule instead of Poseidon's).
+struct Poseidon2Tables {
+  const u64* ext_rc;      // (R_F * t * NW) words, Montgomery form
+  const u64* int_rc;      // (R_P * NW) words, Montgomery form
+  const int32_t* mat_e;   // (t * t) small plain ints
+  const u64* diag_m1;     // (t * NW) words, Montgomery form of (mu_i - 1)
+  // Nullable fast path: (mu_i - 1) as small plain ints (the paper's t = 2, 3
+  // diagonals are {1, 2}) — the internal layer then needs no mont_mul at all.
+  const int32_t* diag_small;
+};
+
 struct PoseidonCtx {
   FieldCtx64 f;
   int t, alpha, full_rounds, partial_rounds;
@@ -118,6 +149,7 @@ struct PoseidonCtx {
   // c_first (t) ‖ constants ((k-1)*t) ‖ row0 ((k-1)*t) ‖ col0 ((k-1)*(t-1))
   // ‖ dense (t*t), each element NW u64 Montgomery words.
   const u64* opt;
+  const Poseidon2Tables* p2;  // non-null => Poseidon2 schedule
 };
 
 inline void one_round(const PoseidonCtx& c, int r, bool full, u64* st,
@@ -194,7 +226,68 @@ inline void partial_chain_opt(const PoseidonCtx& c, u64* st, u64* scratch) {
   std::memcpy(st, scratch, (size_t)t * NW * sizeof(u64));
 }
 
+// M_E . st via plain small-int scaling (representation-preserving).
+inline void p2_mat_e(const PoseidonCtx& c, u64* st, u64* scratch) {
+  const int t = c.t;
+  const int32_t* m = c.p2->mat_e;
+  for (int i = 0; i < t; ++i) {
+    u64 acc[NW] = {0};
+    for (int j = 0; j < t; ++j) {
+      u64 term[NW];
+      mont_small_scale(c.f, st + j * NW, (uint32_t)m[i * t + j], term);
+      mont_add(c.f, acc, term, acc);
+    }
+    std::memcpy(scratch + i * NW, acc, NW * sizeof(u64));
+  }
+  std::memcpy(st, scratch, (size_t)t * NW * sizeof(u64));
+}
+
+// Poseidon2 permutation (ePrint 2023/323): initial M_E, R_F/2 external rounds
+// (rc-add all, S-box all, M_E), R_P internal rounds (rc + S-box on element 0,
+// M_I = J + diag(mu-1)), R_F/2 external rounds.
+inline void permute_one_p2(const PoseidonCtx& c, u64* st, u64* scratch) {
+  const int t = c.t;
+  const Poseidon2Tables& p2 = *c.p2;
+  const int half = c.full_rounds / 2;
+
+  p2_mat_e(c, st, scratch);
+  for (int phase = 0; phase < 2; ++phase) {
+    const int lo = phase == 0 ? 0 : half;
+    const int hi = phase == 0 ? half : c.full_rounds;
+    for (int r = lo; r < hi; ++r) {
+      for (int e = 0; e < t; ++e) {
+        mont_add(c.f, st + e * NW, p2.ext_rc + ((int64_t)r * t + e) * NW,
+                 st + e * NW);
+        mont_pow(c.f, st + e * NW, c.alpha, st + e * NW);
+      }
+      p2_mat_e(c, st, scratch);
+    }
+    if (phase == 0) {
+      for (int r = 0; r < c.partial_rounds; ++r) {
+        mont_add(c.f, st, p2.int_rc + (int64_t)r * NW, st);
+        mont_pow(c.f, st, c.alpha, st);
+        u64 sigma[NW] = {0};
+        for (int j = 0; j < t; ++j) mont_add(c.f, sigma, st + j * NW, sigma);
+        for (int i = 0; i < t; ++i) {
+          u64 prod[NW];
+          if (p2.diag_small != nullptr) {
+            mont_small_scale(c.f, st + i * NW, (uint32_t)p2.diag_small[i], prod);
+          } else {
+            mont_mul(c.f, st + i * NW, p2.diag_m1 + (int64_t)i * NW, prod);
+          }
+          mont_add(c.f, prod, sigma, scratch + i * NW);
+        }
+        std::memcpy(st, scratch, (size_t)t * NW * sizeof(u64));
+      }
+    }
+  }
+}
+
 inline void permute_one(const PoseidonCtx& c, u64* st, u64* scratch) {
+  if (c.p2 != nullptr) {
+    permute_one_p2(c, st, scratch);
+    return;
+  }
   const int half = c.full_rounds / 2;
   const int rounds = c.full_rounds + c.partial_rounds;
   for (int r = 0; r < half; ++r) one_round(c, r, true, st, scratch);
@@ -208,20 +301,10 @@ inline void permute_one(const PoseidonCtx& c, u64* st, u64* scratch) {
     one_round(c, r, true, st, scratch);
 }
 
-}  // namespace
-
-extern "C" {
-
-// fctx: p (4 x u64 LE) ‖ n0inv (1 x u64)
-// ark:  (full_rounds + partial_rounds) * t elements, mds: t * t elements,
-//       each element 4 x u64 LE Montgomery form.
-// opt:  nullable packed optimized-partial-round tables (see PoseidonCtx).
-// states: n * t elements, Montgomery form, permuted IN PLACE.
-// n_threads: worker threads for the batch (<=1 = single-threaded).
-void poseidon_permute_host(const u64* fctx, int32_t t, int32_t alpha,
-                           int32_t full_rounds, int32_t partial_rounds,
-                           const u64* ark, const u64* mds, const u64* opt,
-                           u64* states, int64_t n, int32_t n_threads) {
+inline PoseidonCtx make_ctx(const u64* fctx, int32_t t, int32_t alpha,
+                            int32_t full_rounds, int32_t partial_rounds,
+                            const u64* ark, const u64* mds, const u64* opt,
+                            const Poseidon2Tables* p2) {
   PoseidonCtx c;
   std::memcpy(c.f.p, fctx, NW * sizeof(u64));
   c.f.n0inv = fctx[NW];
@@ -232,6 +315,13 @@ void poseidon_permute_host(const u64* fctx, int32_t t, int32_t alpha,
   c.ark = ark;
   c.mds = mds;
   c.opt = opt;
+  c.p2 = p2;
+  return c;
+}
+
+void batch_permute(const PoseidonCtx& c, u64* states, int64_t n,
+                   int32_t n_threads) {
+  const int t = c.t;
   auto run = [&](int64_t lo, int64_t hi) {
     std::vector<u64> scratch((size_t)t * NW);
     for (int64_t i = lo; i < hi; ++i)
@@ -259,24 +349,12 @@ void poseidon_permute_host(const u64* fctx, int32_t t, int32_t alpha,
 // order; out: all squeezed elements in order.  state_io: t elements (in/out —
 // zero it for a fresh sponge, mod.rs:220); bk: {mode (0 absorb / 1 squeeze),
 // index} bookkeeping (in/out).  capacity is the reference's fixed layout:
-// state[0..capacity) untouched by IO.
-void poseidon_sponge_run(const u64* fctx, int32_t t, int32_t alpha,
-                         int32_t full_rounds, int32_t partial_rounds,
-                         int32_t rate, int32_t capacity, const u64* ark,
-                         const u64* mds, const u64* opt, const int32_t* steps,
-                         int64_t n_steps, const u64* elems, u64* out,
-                         u64* state_io, int32_t* bk) {
-  PoseidonCtx c;
-  std::memcpy(c.f.p, fctx, NW * sizeof(u64));
-  c.f.n0inv = fctx[NW];
-  c.t = t;
-  c.alpha = alpha;
-  c.full_rounds = full_rounds;
-  c.partial_rounds = partial_rounds;
-  c.ark = ark;
-  c.mds = mds;
-  c.opt = opt;
-
+// state[0..capacity) untouched by IO.  Permutation-family-agnostic: the
+// schedule drives whatever permute_one dispatches to for this ctx.
+void sponge_run(const PoseidonCtx& c, int32_t rate, int32_t capacity,
+                const int32_t* steps, int64_t n_steps, const u64* elems,
+                u64* out, u64* state_io, int32_t* bk) {
+  const int t = c.t;
   std::vector<u64> state(state_io, state_io + (size_t)t * NW);
   std::vector<u64> scratch((size_t)t * NW);
   int mode = bk[0];  // 0 = absorbing, 1 = squeezing
@@ -360,6 +438,65 @@ void poseidon_sponge_run(const u64* fctx, int32_t t, int32_t alpha,
   std::memcpy(state_io, state.data(), state.size() * sizeof(u64));
   bk[0] = mode;
   bk[1] = index;
+}
+
+}  // namespace
+
+extern "C" {
+
+// fctx: p (4 x u64 LE) ‖ n0inv (1 x u64)
+// ark:  (full_rounds + partial_rounds) * t elements, mds: t * t elements,
+//       each element 4 x u64 LE Montgomery form.
+// opt:  nullable packed optimized-partial-round tables (see PoseidonCtx).
+// states: n * t elements, Montgomery form, permuted IN PLACE.
+// n_threads: worker threads for the batch (<=1 = single-threaded).
+void poseidon_permute_host(const u64* fctx, int32_t t, int32_t alpha,
+                           int32_t full_rounds, int32_t partial_rounds,
+                           const u64* ark, const u64* mds, const u64* opt,
+                           u64* states, int64_t n, int32_t n_threads) {
+  PoseidonCtx c = make_ctx(fctx, t, alpha, full_rounds, partial_rounds, ark,
+                           mds, opt, nullptr);
+  batch_permute(c, states, n, n_threads);
+}
+
+void poseidon_sponge_run(const u64* fctx, int32_t t, int32_t alpha,
+                         int32_t full_rounds, int32_t partial_rounds,
+                         int32_t rate, int32_t capacity, const u64* ark,
+                         const u64* mds, const u64* opt, const int32_t* steps,
+                         int64_t n_steps, const u64* elems, u64* out,
+                         u64* state_io, int32_t* bk) {
+  PoseidonCtx c = make_ctx(fctx, t, alpha, full_rounds, partial_rounds, ark,
+                           mds, opt, nullptr);
+  sponge_run(c, rate, capacity, steps, n_steps, elems, out, state_io, bk);
+}
+
+// Poseidon2 entries (ePrint 2023/323).  ext_rc: R_F * t elements; int_rc:
+// R_P elements; mat_e: t*t small plain int32; diag_m1: t elements in
+// Montgomery form of (mu_i - 1).  Everything else as above.
+void poseidon2_permute_host(const u64* fctx, int32_t t, int32_t alpha,
+                            int32_t full_rounds, int32_t partial_rounds,
+                            const u64* ext_rc, const u64* int_rc,
+                            const int32_t* mat_e, const u64* diag_m1,
+                            const int32_t* diag_small, u64* states, int64_t n,
+                            int32_t n_threads) {
+  Poseidon2Tables p2{ext_rc, int_rc, mat_e, diag_m1, diag_small};
+  PoseidonCtx c = make_ctx(fctx, t, alpha, full_rounds, partial_rounds,
+                           nullptr, nullptr, nullptr, &p2);
+  batch_permute(c, states, n, n_threads);
+}
+
+void poseidon2_sponge_run(const u64* fctx, int32_t t, int32_t alpha,
+                          int32_t full_rounds, int32_t partial_rounds,
+                          int32_t rate, int32_t capacity, const u64* ext_rc,
+                          const u64* int_rc, const int32_t* mat_e,
+                          const u64* diag_m1, const int32_t* diag_small,
+                          const int32_t* steps, int64_t n_steps,
+                          const u64* elems, u64* out, u64* state_io,
+                          int32_t* bk) {
+  Poseidon2Tables p2{ext_rc, int_rc, mat_e, diag_m1, diag_small};
+  PoseidonCtx c = make_ctx(fctx, t, alpha, full_rounds, partial_rounds,
+                           nullptr, nullptr, nullptr, &p2);
+  sponge_run(c, rate, capacity, steps, n_steps, elems, out, state_io, bk);
 }
 
 }  // extern "C"

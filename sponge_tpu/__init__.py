@@ -58,6 +58,7 @@ from .poseidon2 import (
 )
 from .lazy import LazyPoseidonSponge
 from .poseidon.host import (
+    HostPoseidon2Sponge,
     HostPoseidonSponge,
     host_available,
     host_run_schedule,
@@ -87,6 +88,11 @@ __all__ = [
     "PoseidonSponge",
     "LazyPoseidonSponge",
     "HostPoseidonSponge",
+    "HostPoseidon2Sponge",
+    "Poseidon2Config",
+    "OraclePoseidon2Sponge",
+    "generate_poseidon2_parameters",
+    "get_default_poseidon2_parameters",
     "host_available",
     "host_run_schedule",
     "Batched",

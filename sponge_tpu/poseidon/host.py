@@ -94,6 +94,69 @@ def _from_mont_words(p: int, words: np.ndarray) -> list:
     ]
 
 
+@dataclass(frozen=True)
+class _HostTables2:
+    """Per-config native Poseidon2 constants (csrc Poseidon2Tables layout)."""
+
+    fctx: np.ndarray  # (5,) u64: p (4 LE words) + n0inv
+    ext: np.ndarray   # (R_F*t*4,) u64, Montgomery
+    intr: np.ndarray  # (R_P*4,) u64, Montgomery (or 1 dummy word row)
+    mat_e: np.ndarray  # (t*t,) int32 small plain ints
+    diag: np.ndarray  # (t*4,) u64, Montgomery form of (mu_i - 1)
+    diag_small: np.ndarray  # (t,) int32 plain (mu_i - 1), or None
+
+    @property
+    def diag_small_ptr(self) -> int:
+        return 0 if self.diag_small is None else self.diag_small.ctypes.data
+
+
+@functools.lru_cache(maxsize=32)
+def _tables2(cfg) -> _HostTables2:
+    p = cfg.field.modulus
+    fctx = np.zeros(5, dtype=np.uint64)
+    fctx[0:4] = np.frombuffer(p.to_bytes(32, "little"), dtype=np.uint64)
+    fctx[4] = (-pow(p, -1, 1 << 64)) % (1 << 64)
+    ext = _to_mont_words(p, [a for row in cfg.external_rc for a in row]).reshape(-1)
+    intr = _to_mont_words(p, cfg.internal_rc or [0]).reshape(-1)
+    mat_e = np.ascontiguousarray(np.asarray(cfg.mat_e, dtype=np.int32).reshape(-1))
+    dm1 = [(d - 1) % p for d in cfg.mat_i_diag]
+    diag = _to_mont_words(p, dm1).reshape(-1)
+    diag_small = (
+        np.ascontiguousarray(np.asarray(dm1, dtype=np.int32))
+        if all(v < (1 << 20) for v in dm1)
+        else None
+    )
+    return _HostTables2(
+        fctx=fctx, ext=ext, intr=intr, mat_e=mat_e, diag=diag,
+        diag_small=diag_small,
+    )
+
+
+def _is_p2(cfg) -> bool:
+    from ..poseidon2.config import Poseidon2Config
+
+    return isinstance(cfg, Poseidon2Config)
+
+
+def _call_permute(lib, cfg, plane: np.ndarray, n: int, n_threads: int) -> None:
+    """Dispatch the native batch permute on the config family (in-place)."""
+    if _is_p2(cfg):
+        tab = _tables2(cfg)
+        lib.poseidon2_permute_host(
+            tab.fctx.ctypes.data, cfg.t, cfg.alpha, cfg.full_rounds,
+            cfg.partial_rounds, tab.ext.ctypes.data, tab.intr.ctypes.data,
+            tab.mat_e.ctypes.data, tab.diag.ctypes.data, tab.diag_small_ptr,
+            plane.ctypes.data, n, n_threads,
+        )
+    else:
+        tab = _tables(cfg)
+        lib.poseidon_permute_host(
+            tab.fctx.ctypes.data, cfg.t, cfg.alpha, cfg.full_rounds,
+            cfg.partial_rounds, tab.ark.ctypes.data, tab.mds.ctypes.data,
+            tab.opt_ptr, plane.ctypes.data, n, n_threads,
+        )
+
+
 @functools.lru_cache(maxsize=32)
 def _tables(cfg: PoseidonConfig) -> _HostTables:
     p = cfg.field.modulus
@@ -139,13 +202,8 @@ def host_permute_states(cfg: PoseidonConfig, states, n_threads: int = 0) -> list
         raise ValueError(f"states length {len(states)} not a multiple of t={t}")
     if n_threads <= 0:
         n_threads = min(os.cpu_count() or 1, 16) if n >= 64 else 1
-    tab = _tables(cfg)
     plane = np.ascontiguousarray(_to_mont_words(cfg.field.modulus, states))
-    lib.poseidon_permute_host(
-        tab.fctx.ctypes.data, t, cfg.alpha, cfg.full_rounds, cfg.partial_rounds,
-        tab.ark.ctypes.data, tab.mds.ctypes.data, tab.opt_ptr,
-        plane.ctypes.data, n, n_threads,
-    )
+    _call_permute(lib, cfg, plane, n, n_threads)
     return _from_mont_words(cfg.field.modulus, plane)
 
 
@@ -163,29 +221,39 @@ class HostPoseidonSponge(OraclePoseidonSponge):
         self._native = host_available(cfg)
         # Resolve tables/lib once: hashing the config (63x3 bigint ark tuple)
         # per permute would cost as much as the permutation itself.
-        self._tab = _tables(cfg) if self._native else None
+        if self._native:
+            _tables2(cfg) if _is_p2(cfg) else _tables(cfg)  # warm the cache
         self._lib = get_poseidon_lib() if self._native else None
 
     def permute(self):
         if not self._native:
             return super().permute()
-        cfg, tab = self.cfg, self._tab
+        cfg = self.cfg
         plane = np.ascontiguousarray(
             _to_mont_words(cfg.field.modulus, self.state)
         )
-        self._lib.poseidon_permute_host(
-            tab.fctx.ctypes.data, cfg.t, cfg.alpha, cfg.full_rounds,
-            cfg.partial_rounds, tab.ark.ctypes.data, tab.mds.ctypes.data,
-            tab.opt_ptr, plane.ctypes.data, 1, 1,
-        )
+        _call_permute(self._lib, cfg, plane, 1, 1)
         self.state = _from_mont_words(cfg.field.modulus, plane)
 
-    def clone(self) -> "HostPoseidonSponge":
-        new = HostPoseidonSponge(self.cfg)
+    def clone(self):
+        new = type(self)(self.cfg)
         new.state = list(self.state)
         new.mode = self.mode
         new.index = self.index
         return new
+
+
+from ..poseidon2.oracle import OraclePoseidon2Sponge  # noqa: E402
+
+
+class HostPoseidon2Sponge(HostPoseidonSponge, OraclePoseidon2Sponge):
+    """The Poseidon2 oracle with the native permute.
+
+    MRO (HostPoseidonSponge, OraclePoseidon2Sponge): ``permute`` resolves to
+    the native dispatcher (``_call_permute`` selects the Poseidon2 C++ entry
+    by config family) and its pure-python fallback ``super().permute()``
+    resolves to the Poseidon2 oracle schedule.
+    """
 
 
 _MODE_CODE = {ABSORBING: 0, SQUEEZING: 1}
@@ -227,7 +295,6 @@ def host_run_schedule(cfg, steps, elems, state: SpongeState = None):
         else:
             raise ValueError(f"unknown step kind {kind!r}")
 
-    tab = _tables(cfg)
     ein = np.ascontiguousarray(
         _to_mont_words(p, [e % p for e in elems])
         if elems
@@ -239,13 +306,25 @@ def host_run_schedule(cfg, steps, elems, state: SpongeState = None):
     st = np.ascontiguousarray(_to_mont_words(p, state.state))
     bk = np.array([_MODE_CODE[state.mode], state.index], dtype=np.int32)
 
-    lib.poseidon_sponge_run(
-        tab.fctx.ctypes.data, cfg.t, cfg.alpha, cfg.full_rounds,
-        cfg.partial_rounds, cfg.rate, cfg.capacity,
-        tab.ark.ctypes.data, tab.mds.ctypes.data, tab.opt_ptr,
-        step_arr.ctypes.data, len(steps),
-        ein.ctypes.data, out.ctypes.data, st.ctypes.data, bk.ctypes.data,
-    )
+    if _is_p2(cfg):
+        tab = _tables2(cfg)
+        lib.poseidon2_sponge_run(
+            tab.fctx.ctypes.data, cfg.t, cfg.alpha, cfg.full_rounds,
+            cfg.partial_rounds, cfg.rate, cfg.capacity,
+            tab.ext.ctypes.data, tab.intr.ctypes.data,
+            tab.mat_e.ctypes.data, tab.diag.ctypes.data, tab.diag_small_ptr,
+            step_arr.ctypes.data, len(steps),
+            ein.ctypes.data, out.ctypes.data, st.ctypes.data, bk.ctypes.data,
+        )
+    else:
+        tab = _tables(cfg)
+        lib.poseidon_sponge_run(
+            tab.fctx.ctypes.data, cfg.t, cfg.alpha, cfg.full_rounds,
+            cfg.partial_rounds, cfg.rate, cfg.capacity,
+            tab.ark.ctypes.data, tab.mds.ctypes.data, tab.opt_ptr,
+            step_arr.ctypes.data, len(steps),
+            ein.ctypes.data, out.ctypes.data, st.ctypes.data, bk.ctypes.data,
+        )
 
     squeezed = _from_mont_words(p, out)[:n_squeeze]
     new_state = SpongeState(

@@ -130,6 +130,41 @@ def _build_poseidon() -> Optional[ctypes.CDLL]:
         ctypes.c_void_p,  # state_io (t*4 u64, in/out)
         ctypes.c_void_p,  # bk ({mode, index} int32, in/out)
     ]
+    lib.poseidon2_permute_host.argtypes = [
+        ctypes.c_void_p,  # fctx
+        ctypes.c_int32,   # t
+        ctypes.c_int32,   # alpha
+        ctypes.c_int32,   # full_rounds
+        ctypes.c_int32,   # partial_rounds
+        ctypes.c_void_p,  # ext_rc (R_F*t*4 u64, Montgomery)
+        ctypes.c_void_p,  # int_rc (R_P*4 u64, Montgomery)
+        ctypes.c_void_p,  # mat_e (t*t int32, small plain ints)
+        ctypes.c_void_p,  # diag_m1 (t*4 u64, Montgomery of mu-1)
+        ctypes.c_void_p,  # diag_small (t int32 plain mu-1, nullable fast path)
+        ctypes.c_void_p,  # states (n*t*4 u64, in-place)
+        ctypes.c_int64,   # n
+        ctypes.c_int32,   # n_threads
+    ]
+    lib.poseidon2_sponge_run.argtypes = [
+        ctypes.c_void_p,  # fctx
+        ctypes.c_int32,   # t
+        ctypes.c_int32,   # alpha
+        ctypes.c_int32,   # full_rounds
+        ctypes.c_int32,   # partial_rounds
+        ctypes.c_int32,   # rate
+        ctypes.c_int32,   # capacity
+        ctypes.c_void_p,  # ext_rc
+        ctypes.c_void_p,  # int_rc
+        ctypes.c_void_p,  # mat_e
+        ctypes.c_void_p,  # diag_m1
+        ctypes.c_void_p,  # diag_small (nullable)
+        ctypes.c_void_p,  # steps
+        ctypes.c_int64,   # n_steps
+        ctypes.c_void_p,  # elems
+        ctypes.c_void_p,  # out
+        ctypes.c_void_p,  # state_io
+        ctypes.c_void_p,  # bk
+    ]
     return lib
 
 

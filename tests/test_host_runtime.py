@@ -158,3 +158,62 @@ def test_host_sponge_ext_roundtrip():
     assert h2.squeeze_native_field_elements(
         3
     ) == o.squeeze_native_field_elements(3)
+
+
+# ---------------------------------------------------------------------------
+# Poseidon2 through the same native runtime (csrc poseidon2_* entries)
+# ---------------------------------------------------------------------------
+
+
+def test_host_poseidon2_permute_vs_oracle():
+    from sponge_tpu import get_default_poseidon2_parameters
+    from sponge_tpu.poseidon2 import OraclePoseidon2Sponge
+
+    cfg2 = get_default_poseidon2_parameters(FR, 2)
+    rng = np.random.default_rng(3)
+    states = rand_fr(rng, 4 * cfg2.t)
+    got = host_permute_states(cfg2, states)
+    for b in range(4):
+        o = OraclePoseidon2Sponge(cfg2)
+        o.state = states[b * cfg2.t : (b + 1) * cfg2.t]
+        o.permute()
+        assert got[b * cfg2.t : (b + 1) * cfg2.t] == o.state, b
+
+
+def test_host_poseidon2_sponge_vs_oracle():
+    from sponge_tpu import get_default_poseidon2_parameters
+    from sponge_tpu.poseidon.host import HostPoseidon2Sponge
+    from sponge_tpu.poseidon2 import OraclePoseidon2Sponge
+
+    cfg2 = get_default_poseidon2_parameters(FR, 2)
+    h = HostPoseidon2Sponge(cfg2)
+    assert h._native
+    o = OraclePoseidon2Sponge(cfg2)
+    for s in (h, o):
+        s.absorb([Fp(0, FR), Fp(1, FR), Fp(2, FR)])
+    assert h.squeeze_native_field_elements(3) == o.squeeze_native_field_elements(3)
+    # Mode flip + bytes path + fork (inherited formatting over native permute).
+    for s in (h, o):
+        s.absorb([Fp(9, FR)])
+    assert h.squeeze_bytes(13) == o.squeeze_bytes(13)
+    hf, of = h.fork(b"d"), o.fork(b"d")
+    assert isinstance(hf, HostPoseidon2Sponge)
+    assert hf.squeeze_native_field_elements(1) == of.squeeze_native_field_elements(1)
+
+
+def test_host_poseidon2_run_schedule_vs_oracle():
+    from sponge_tpu import get_default_poseidon2_parameters
+    from sponge_tpu.poseidon2 import OraclePoseidon2Sponge
+
+    cfg2 = get_default_poseidon2_parameters(FR, 2)
+    rng = np.random.default_rng(11)
+    elems = rand_fr(rng, 7)
+    steps = [("absorb", 3), ("squeeze", 2), ("absorb", 4), ("squeeze", 5)]
+    got, state = host_run_schedule(cfg2, steps, elems)
+    o = OraclePoseidon2Sponge(cfg2)
+    o.absorb_field_elements(elems[:3])
+    want = o.squeeze_native_field_elements(2)
+    o.absorb_field_elements(elems[3:])
+    want += o.squeeze_native_field_elements(5)
+    assert got == want
+    assert state.state == o.state and state.index == o.index
