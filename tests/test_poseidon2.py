@@ -395,3 +395,26 @@ def test_checkpoint_roundtrip_poseidon2(tmp_path):
 
     with pytest.raises(ValueError):
         load_sponge(path, tiny_poseidon_config())
+
+
+def test_oracle_golden_regression_bls():
+    """Frozen end-to-end vector for the production BLS12-381 rate-2 instance
+    (self-generated deterministic parameters; freezing makes any change to the
+    Grain-derivation order, matrices, or schedule loud)."""
+    s = OraclePoseidon2Sponge(get_default_poseidon2_parameters(BLS12_381_FR, 2))
+    s.absorb_field_elements([0, 1, 2])
+    assert s.squeeze_native_field_elements(3) == [
+        52083961829638530329803873513984423317950149524710559639711710544245016843101,
+        46550625866894159897150880606355238520431023163927606006962896442099973167881,
+        42226209967555737499361210161376034319861506751659560949906643713058884560743,
+    ]
+
+
+def test_default_parameters_other_fields():
+    """BN254 / BLS12-377 default tables also drive Poseidon2 generation."""
+    from sponge_tpu import BLS12_377_FR, BN254_FR
+
+    for fs in (BN254_FR, BLS12_377_FR):
+        cfg = get_default_poseidon2_parameters(fs, 2)
+        assert cfg.t == 3 and cfg.mat_i_diag == (2, 2, 3)
+        check_value_bounds(cfg)
