@@ -90,7 +90,6 @@ def bench_poseidon2(log_batch=20, reps=6):
     checked against the scalar oracle before timing."""
     from sponge_tpu import BLS12_381_FR, OraclePoseidon2Sponge, get_default_poseidon2_parameters
     from sponge_tpu.poseidon2.permutation import batched_permute2
-    from sponge_tpu.poseidon.permutation import zero_state
 
     import bench as root_bench
 

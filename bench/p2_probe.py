@@ -55,7 +55,10 @@ def main():
         got = [fs.mont_limbs_to_int(out_np[i][:, b]) for i in range(cfg.t)]
         if got != o.state:
             raise RuntimeError(f"PARITY FAILURE at lane {b}: {got} != {o.state}")
-        if any(v >= 2 * fs.modulus for v in got):
+        # Output invariant on the RAW limb value (before mod-p decode —
+        # mont_limbs_to_int already reduces, so it cannot see a violation).
+        raw = [fs.limbs_to_int(out_np[i][:, b]) for i in range(cfg.t)]
+        if any(v >= 2 * fs.modulus for v in raw):
             raise RuntimeError(f"output invariant (< 2p) violated at lane {b}")
     print(json.dumps({"parity": "ok", "rate": rate, "lanes_checked": lanes // 61 + 1}))
 

@@ -55,6 +55,12 @@ def _cfg_fingerprint(cfg) -> str:
     ).hexdigest()
     return json.dumps(
         {
+            # Fingerprint format v2 (multi-family): adds "kind"/"version" and
+            # hashes ALL config fields generically.  v1 checkpoints (written
+            # before Poseidon2 support) fail validation and must be
+            # regenerated — the formats are deliberately not cross-readable,
+            # since v1 hashed only ark/mds.
+            "version": 2,
             "kind": type(cfg).__name__,
             "field": cfg.field.name,
             "rate": cfg.rate,

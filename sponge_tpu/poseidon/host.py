@@ -138,10 +138,16 @@ def _is_p2(cfg) -> bool:
     return isinstance(cfg, Poseidon2Config)
 
 
-def _call_permute(lib, cfg, plane: np.ndarray, n: int, n_threads: int) -> None:
-    """Dispatch the native batch permute on the config family (in-place)."""
+def _call_permute(lib, cfg, plane: np.ndarray, n: int, n_threads: int,
+                  tab=None) -> None:
+    """Dispatch the native batch permute on the config family (in-place).
+
+    ``tab``: pre-resolved table bundle (``_tables``/``_tables2`` result) — pass
+    it on per-permute hot paths to skip the lru_cache lookup, which hashes the
+    whole config (63x3 bigint ark tuple) and costs ~4% of a native permute.
+    """
     if _is_p2(cfg):
-        tab = _tables2(cfg)
+        tab = tab if tab is not None else _tables2(cfg)
         lib.poseidon2_permute_host(
             tab.fctx.ctypes.data, cfg.t, cfg.alpha, cfg.full_rounds,
             cfg.partial_rounds, tab.ext.ctypes.data, tab.intr.ctypes.data,
@@ -149,7 +155,7 @@ def _call_permute(lib, cfg, plane: np.ndarray, n: int, n_threads: int) -> None:
             plane.ctypes.data, n, n_threads,
         )
     else:
-        tab = _tables(cfg)
+        tab = tab if tab is not None else _tables(cfg)
         lib.poseidon_permute_host(
             tab.fctx.ctypes.data, cfg.t, cfg.alpha, cfg.full_rounds,
             cfg.partial_rounds, tab.ark.ctypes.data, tab.mds.ctypes.data,
@@ -220,9 +226,11 @@ class HostPoseidonSponge(OraclePoseidonSponge):
         super().__init__(cfg)
         self._native = host_available(cfg)
         # Resolve tables/lib once: hashing the config (63x3 bigint ark tuple)
-        # per permute would cost as much as the permutation itself.
+        # per permute would cost a measurable fraction of the permutation.
         if self._native:
-            _tables2(cfg) if _is_p2(cfg) else _tables(cfg)  # warm the cache
+            self._tab = _tables2(cfg) if _is_p2(cfg) else _tables(cfg)
+        else:
+            self._tab = None
         self._lib = get_poseidon_lib() if self._native else None
 
     def permute(self):
@@ -232,7 +240,7 @@ class HostPoseidonSponge(OraclePoseidonSponge):
         plane = np.ascontiguousarray(
             _to_mont_words(cfg.field.modulus, self.state)
         )
-        _call_permute(self._lib, cfg, plane, 1, 1)
+        _call_permute(self._lib, cfg, plane, 1, 1, tab=self._tab)
         self.state = _from_mont_words(cfg.field.modulus, plane)
 
     def clone(self):

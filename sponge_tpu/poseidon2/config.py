@@ -65,10 +65,6 @@ class Poseidon2Config:
     def rounds(self) -> int:
         return self.full_rounds + self.partial_rounds
 
-    @property
-    def mat_e_max_entry(self) -> int:
-        return max(max(row) for row in self.mat_e)
-
     def batched_permute(self, state, backend: str = "auto"):
         """Permutation dispatch hook used by the shared duplex sponge
         (``poseidon.permutation.batched_permute`` delegates here for

@@ -139,6 +139,10 @@ def _apply_external(mat_e: jnp.ndarray, state: jnp.ndarray) -> jnp.ndarray:
 
 def poseidon2_permute(cfg: Poseidon2Config, state: jnp.ndarray) -> jnp.ndarray:
     """Full Poseidon2 permutation on a (t, L, B) Montgomery limb-plane batch."""
+    # Hard gate: a config whose worst-case values could reach R would corrupt
+    # silently (carry_pass drops top carries); refuse to trace it.  lru_cached,
+    # so this costs one dict lookup per call.
+    check_value_bounds(cfg)
     fs = cfg.field
     consts = device_constants2(cfg)
     ext = jnp.asarray(consts["ext"])  # (R_F, t, L, 1)
@@ -191,8 +195,13 @@ def batched_permute2(cfg: Poseidon2Config, state, backend: str = "auto"):
 
     B = state.shape[-1]
     on_tpu = jax.default_backend() == "tpu"
-    if backend == "cios" or (backend == "auto" and on_tpu and B % TILE_LANES == 0):
+    # "pallas" (Poseidon's readable-kernel name) is accepted as an alias of
+    # the fused kernel so a Poseidon2Config drops into call sites that pin a
+    # backend (hash.py / transcript.py / parallel thread it through verbatim).
+    if backend in ("cios", "pallas") or (
+        backend == "auto" and on_tpu and B % TILE_LANES == 0
+    ):
         return p2_permute_fn(cfg)(state)
-    if backend not in ("auto", "xla", "cios"):
+    if backend not in ("auto", "xla"):
         raise ValueError(f"unknown backend {backend!r}")
     return poseidon2_permute_jit(cfg)(state)

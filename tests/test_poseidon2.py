@@ -203,11 +203,12 @@ def _run_p2_kernel_body(cfg, B=256, stride=29, lane_streams=1):
         assert got == o.state, b
         fold_exercised = True
     assert fold_exercised
-    # Output invariant: values < 2p (required by the sponge's absorb-add and
-    # from_mont downstream).
+    # Output invariant: RAW limb values < 2p (required by the sponge's
+    # absorb-add and from_mont downstream; must be checked on the undecoded
+    # limbs — mont_limbs_to_int already reduces mod p).
     for i in range(t):
         for b in range(0, B, stride):
-            assert fs.mont_limbs_to_int(out[i][:, b]) < 2 * fs.modulus
+            assert fs.limbs_to_int(out[i][:, b]) < 2 * fs.modulus
 
 
 def test_p2_kernel_body_tiny_small_diag():
@@ -418,3 +419,21 @@ def test_default_parameters_other_fields():
         cfg = get_default_poseidon2_parameters(fs, 2)
         assert cfg.t == 3 and cfg.mat_i_diag == (2, 2, 3)
         check_value_bounds(cfg)
+
+
+def test_value_bound_gate_blocks_unsafe_configs():
+    """A (field, width) combination whose worst-case values could reach the
+    Montgomery radix must RAISE from the XLA tier, not corrupt silently
+    (code-review round-2 finding: the check existed but was never invoked)."""
+    from sponge_tpu.fields import FieldSpec
+    from sponge_tpu.poseidon2.permutation import ValueBoundError
+
+    # 44-bit prime -> nlimbs=4, R = 2^48, R/p ~ 16: minimum headroom.
+    low_headroom = FieldSpec(
+        name="low_headroom_44", modulus=(1 << 44) - 17, generator=3
+    )
+    cfg = generate_poseidon2_parameters(low_headroom, 7, 5, 4, 4)  # t=8
+    with pytest.raises(ValueBoundError):
+        poseidon2_permute_jit(cfg)(
+            jnp.zeros((cfg.t, low_headroom.nlimbs, 8), dtype=jnp.int32)
+        )
