@@ -17,12 +17,9 @@ from __future__ import annotations
 
 import hashlib
 import json
-import pathlib
-from typing import Optional
 
 import numpy as np
 
-from .fields import get_field
 from .poseidon.config import PoseidonConfig
 from .poseidon.oracle import SpongeState
 from .sponge import PoseidonSponge

@@ -18,7 +18,7 @@ remaining output equals the rate; `Truncated` sizes that never truncate.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Optional, Sequence, Union
+from typing import Optional, Sequence
 
 import jax.numpy as jnp
 import numpy as np
@@ -30,7 +30,6 @@ from .poseidon.config import PoseidonConfig
 from .poseidon.oracle import (
     FULL,
     SpongeState,
-    Truncated,
     field_element_size_num_bits,
 )
 from .poseidon.permutation import zero_state

@@ -337,7 +337,7 @@ def test_compiled_transcript_poseidon2():
 def test_merkle_root_poseidon2():
     import jax.numpy as jnp
 
-    from sponge_tpu.hash import compress_pairs, merkle_root
+    from sponge_tpu.hash import merkle_root
 
     cfg = tiny_poseidon2_config()
     fs = cfg.field
