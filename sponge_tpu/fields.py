@@ -198,7 +198,19 @@ BLS12_377_FR = FieldSpec(
     generator=22,
 )
 
-_FIELDS = {f.name: f for f in (BLS12_381_FR, BN254_FR, BLS12_377_FR)}
+# Goldilocks (2^64 - 2^32 + 1): the dominant small field of modern ZK systems
+# (plonky2/3, miden, risc0).  6 x 12-bit limbs instead of 22 — every Montgomery
+# reduction costs (6/22)^2 ~ 13x less than the 255-bit fields, so Poseidon over
+# Goldilocks is the throughput-per-byte champion of the framework.  64-bit
+# elements need a wider capacity for 128-bit sponge security (capacity 4 = 256
+# capacity bits; see poseidon.params._DEFAULT_CAPACITY).
+GOLDILOCKS_FR = FieldSpec(
+    name="goldilocks_fr",
+    modulus=(1 << 64) - (1 << 32) + 1,
+    generator=7,
+)
+
+_FIELDS = {f.name: f for f in (BLS12_381_FR, BN254_FR, BLS12_377_FR, GOLDILOCKS_FR)}
 
 
 def get_field(name: str) -> FieldSpec:

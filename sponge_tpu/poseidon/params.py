@@ -118,15 +118,18 @@ def find_poseidon_ark_and_mds(
     full_rounds: int,
     partial_rounds: int,
     skip_matrices: int,
+    capacity: int = 1,
 ):
     """ARK constants via rejection sampling + Cauchy MDS matrix.
 
     Mirrors /root/reference/src/poseidon/traits.rs:105-146: one LFSR seeded with
-    (false, prime_bits, rate+1, R_F, R_P); (R_F+R_P) rows of (rate+1) rejection
-    samples; ``skip_matrices`` discarded draws of 2*(rate+1) mod-p elements; then
-    mds[i][j] = (x_i + y_j)^{-1}.
+    (false, prime_bits, rate+capacity, R_F, R_P); (R_F+R_P) rows of t rejection
+    samples; ``skip_matrices`` discarded draws of 2*t mod-p elements; then
+    mds[i][j] = (x_i + y_j)^{-1}.  The reference fixes capacity = 1
+    (traits.rs:96); small fields (e.g. Goldilocks) need capacity > 1 for
+    128-bit sponge security, which only changes the seeded state width t.
     """
-    t = rate + 1
+    t = rate + capacity
     lfsr = PoseidonGrainLFSR(False, fs.modulus_bit_size, t, full_rounds, partial_rounds)
 
     ark = tuple(
@@ -178,6 +181,16 @@ _BLS12_377_FR_CONSTRAINTS = tuple(
     (rate, 17, rf, rp, skip) for rate, _a, rf, rp, skip in _BLS12_381_FR_CONSTRAINTS
 )
 
+# Goldilocks (64-bit): x^7 S-box (gcd(7, p-1) = 1); round numbers follow the
+# t=12 128-bit-security instance used across plonky2-family systems
+# (R_F=8, R_P=22), applied to both shipped widths; the wider t only
+# strengthens the bound at equal rounds.  Capacity is 4 elements (256 capacity
+# bits) rather than the reference's fixed 1 — see _DEFAULT_CAPACITY.
+_GOLDILOCKS_CONSTRAINTS = (
+    (4, 7, 8, 22, 0),
+    (8, 7, 8, 22, 0),
+)
+
 _DEFAULT_TABLES = {
     "bls12_381_fr": {False: _BLS12_381_FR_CONSTRAINTS, True: _BLS12_381_FR_WEIGHTS},
     # The BLS tables target any ~255-bit prime via the Grain seed, so reuse them as
@@ -185,7 +198,14 @@ _DEFAULT_TABLES = {
     # field declare tables via PoseidonDefaultConfig, traits.rs:43-56).
     "bn254_fr": {False: _BLS12_381_FR_CONSTRAINTS, True: _BLS12_381_FR_WEIGHTS},
     "bls12_377_fr": {False: _BLS12_377_FR_CONSTRAINTS, True: _BLS12_381_FR_WEIGHTS},
+    "goldilocks_fr": {False: _GOLDILOCKS_CONSTRAINTS, True: _GOLDILOCKS_CONSTRAINTS},
 }
+
+# Sponge capacity in state elements.  The reference hardcodes 1
+# (traits.rs:96), which gives ~p/2 bits of capacity — fine for 255-bit
+# fields, far too small for 64-bit ones: 128-bit sponge security needs
+# >= 256 capacity bits = 4 Goldilocks elements.
+_DEFAULT_CAPACITY = {"goldilocks_fr": 4}
 
 
 @functools.lru_cache(maxsize=None)
@@ -229,10 +249,11 @@ def get_default_poseidon_parameters(
     unknown fields or rates (the reference returns None).
     """
     table = _DEFAULT_TABLES[fs.name][bool(optimized_for_weights)]
+    capacity = _DEFAULT_CAPACITY.get(fs.name, 1)
     for rate_, alpha, full_rounds, partial_rounds, skip_matrices in table:
         if rate_ == rate:
             ark, mds = find_poseidon_ark_and_mds(
-                fs, rate, full_rounds, partial_rounds, skip_matrices
+                fs, rate, full_rounds, partial_rounds, skip_matrices, capacity
             )
             return PoseidonConfig(
                 field=fs,
@@ -242,6 +263,6 @@ def get_default_poseidon_parameters(
                 ark=ark,
                 mds=mds,
                 rate=rate,
-                capacity=1,
+                capacity=capacity,
             )
     raise ValueError(f"no default Poseidon parameters for rate={rate}")

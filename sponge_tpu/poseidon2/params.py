@@ -32,7 +32,7 @@ from __future__ import annotations
 import functools
 
 from ..fields import FieldSpec
-from ..poseidon.params import PoseidonGrainLFSR, _DEFAULT_TABLES
+from ..poseidon.params import _DEFAULT_CAPACITY, _DEFAULT_TABLES, PoseidonGrainLFSR
 from .config import Poseidon2Config
 
 # The paper's 4x4 building block (ePrint 2023/323 §5.1).
@@ -168,9 +168,10 @@ def get_default_poseidon2_parameters(
     or t % 4 == 0) are available; others raise ValueError.
     """
     table = _DEFAULT_TABLES[fs.name][bool(optimized_for_weights)]
+    capacity = _DEFAULT_CAPACITY.get(fs.name, 1)
     for rate_, alpha, full_rounds, partial_rounds, _skip in table:
         if rate_ == rate:
             return generate_poseidon2_parameters(
-                fs, rate, alpha, full_rounds, partial_rounds
+                fs, rate, alpha, full_rounds, partial_rounds, capacity
             )
     raise ValueError(f"no default Poseidon2 parameters for rate={rate}")

@@ -17,11 +17,9 @@ Montgomery machinery itself:
 * internal rounds compute ``out_i = mont_mul(x_i, dm1_mont_i) + sigma_red``
   with ``sigma_red = mont_mul(sum_j x_j, one)`` — the one extra shared
   reduction per round bounds the invariant at < 2.3p;
-* the internal phase is entered through one ``mont_mul(x, one)`` per
-  element (values arriving from an external linear layer are < 225p;
-  the entry reduction brings them < 2p before sums are taken);
-* external rounds need no extra work: every element passes through the
-  S-box REDCs, whose output shrinks back toward < 2p (out < V^2/R + p).
+* every external linear layer closes with a Montgomery-by-1 reduction, so
+  row sums never compound (required for small-R/p fields: Goldilocks has
+  R/p = 2^8, and the t = 12 block-circulant row sum alone is 64).
 
 The Pallas tier (``ops.pallas_p2``) instead uses top-carry rho-folding to
 avoid the per-element internal REDC entirely; this tier is its slow,
@@ -67,13 +65,16 @@ def check_value_bounds(cfg: Poseidon2Config) -> None:
     rs = max(sum(row) for row in cfg.mat_e)
     t = cfg.t
 
+    def fail():
+        raise ValueBoundError(
+            f"Poseidon2 XLA tier value bound exceeds R for t={t} over "
+            f"{fs.name} (R/p headroom too small); use the Pallas tier or "
+            f"a wider limb plan"
+        )
+
     def mul(a: int, b: int) -> int:
         if a >= R or b >= R:
-            raise ValueBoundError(
-                f"Poseidon2 XLA tier value bound exceeds R for t={t} over "
-                f"{fs.name} (R/p headroom too small); use the Pallas tier or "
-                f"a wider limb plan"
-            )
+            fail()
         return (a * b) // R + p + 1
 
     def sbox(v: int) -> int:
@@ -85,22 +86,24 @@ def check_value_bounds(cfg: Poseidon2Config) -> None:
                 acc = mul(acc, x)
         return acc
 
-    V = p  # canonical sponge inputs
-    V = rs * V  # initial linear layer
+    def ext_linear(v: int) -> int:
+        # Raw scaled sum must stay below R BEFORE its closing reduction.
+        if rs * v >= R:
+            fail()
+        return mul(rs * v, p)
+
+    V = ext_linear(p)  # canonical sponge inputs -> initial linear layer
     for _ in range(cfg.full_rounds // 2 + 2):
-        V = rs * sbox(V)
-    if cfg.partial_rounds:
-        V = mul(V, p)  # entry reduction
-        for _ in range(cfg.partial_rounds + 2):
-            s0 = sbox(V)
-            v_el = max(V, s0)
-            sigma_raw = t * v_el
-            if sigma_raw >= R:
-                mul(R, R)  # raise with the standard message
-            V = mul(v_el, p) + mul(sigma_raw, p)
+        V = ext_linear(sbox(V))
+    for _ in range(cfg.partial_rounds + 2):
+        s0 = sbox(V)
+        v_el = max(V, s0)
+        sigma_raw = t * v_el
+        if sigma_raw >= R:
+            fail()
+        V = mul(v_el, p) + mul(sigma_raw, p)
     for _ in range(cfg.full_rounds // 2 + 2):
-        V = rs * sbox(V)
-    mul(V, p)  # exit reduction
+        V = ext_linear(sbox(V))
 
 
 @functools.lru_cache(maxsize=None)
@@ -128,13 +131,18 @@ def device_constants2(cfg: Poseidon2Config):
     return {"ext": ext, "internal": internal, "mat_e": mat_e, "diag_m1": diag_m1}
 
 
-def _apply_external(mat_e: jnp.ndarray, state: jnp.ndarray) -> jnp.ndarray:
-    """M_E . state via plain small-int scaling: out[i] = sum_j e_ij * x[j].
+def _apply_external(fs, mat_e: jnp.ndarray, one: jnp.ndarray, state) -> jnp.ndarray:
+    """M_E . state via plain small-int scaling, then one Montgomery-by-1
+    reduction so values re-enter the < 2p regime every round.
 
-    Limb bound: t * 14 * 2^12 < 2^21 (two carry passes restore <= 2^12);
-    value bound: row_sum * V_in < 112 * 2.3p < 2^263 << R — exact.
+    Limb bound of the raw sum: t * 14 * 2^12 < 2^21 (two carry passes restore
+    <= 2^12); value bound row_sum * V_in < R is checked statically per config
+    (``check_value_bounds``).  The closing reduction is what lets small-R/p
+    fields (Goldilocks: R/p = 2^8) run wide states on this tier — without it
+    the external row sums compound past R within one round.
     """
-    return normalize(jnp.tensordot(mat_e, state, axes=1), passes=2)
+    raw = normalize(jnp.tensordot(mat_e, state, axes=1), passes=2)
+    return mont.mont_mul(fs, raw, one)
 
 
 def poseidon2_permute(cfg: Poseidon2Config, state: jnp.ndarray) -> jnp.ndarray:
@@ -158,7 +166,7 @@ def poseidon2_permute(cfg: Poseidon2Config, state: jnp.ndarray) -> jnp.ndarray:
     def external_round(r, st):
         st = mont.mont_add(fs, st, ext[r])
         st = mont.mont_pow(fs, st, cfg.alpha)
-        return _apply_external(mat_e, st)
+        return _apply_external(fs, mat_e, one, st)
 
     def internal_round(r, st):
         s0 = mont.mont_pow(fs, mont.mont_add(fs, st[0], internal[r]), cfg.alpha)
@@ -170,17 +178,13 @@ def poseidon2_permute(cfg: Poseidon2Config, state: jnp.ndarray) -> jnp.ndarray:
         prod = mont.mont_mul(fs, st, diag_m1)  # < 1.1p
         return normalize(prod + sigma[None], passes=2)  # < 2.3p
 
-    state = _apply_external(mat_e, state)  # initial linear layer
+    state = _apply_external(fs, mat_e, one, state)  # initial linear layer
     state = jax.lax.fori_loop(0, half, external_round, state)
-    # Internal-phase entry reduction: external outputs are < 225p; one
-    # Montgomery multiply by 1 per element brings them < 2p before row sums.
-    if cfg.partial_rounds:
-        state = mont.mont_mul(fs, state, one)
-        state = jax.lax.fori_loop(0, cfg.partial_rounds, internal_round, state)
+    state = jax.lax.fori_loop(0, cfg.partial_rounds, internal_round, state)
     state = jax.lax.fori_loop(half, cfg.full_rounds, external_round, state)
-    # Exit reduction: restore the framework-wide < 2p output invariant
-    # (the final external linear layer leaves values < 225p).
-    return mont.mont_mul(fs, state, one)
+    # Every external linear layer ends in a Montgomery-by-1 reduction, so the
+    # framework-wide < 2p output invariant holds without an exit step.
+    return state
 
 
 @functools.lru_cache(maxsize=None)
