@@ -266,3 +266,160 @@ def merkle_verify(
         backend="xla" if backend == "auto" else backend,
     )
     return bool(np.asarray(out)[0])
+
+
+# ---------------------------------------------------------------------------
+# Wide digests: Merkle trees whose nodes are d-element digests.
+#
+# Over ~255-bit fields a single element is a 255-bit digest and d = 1 (the
+# functions above).  Over small fields one element is NOT collision-resistant
+# (a 64-bit Goldilocks digest gives 32-bit security); the standard construction
+# (plonky2-family) uses d = 4 elements (256 digest bits).  With rate >= 2d a
+# 2-to-1 digest compression is still exactly ONE permutation: absorb the 2d
+# concatenated elements (no permute until the mode flip), squeeze d.
+# ---------------------------------------------------------------------------
+
+
+def default_digest_elems(cfg: PoseidonConfig) -> int:
+    """Elements per Merkle digest for ~128-bit collision resistance:
+    ceil(256 / field bits) — 1 for the 255-bit fields, 4 for Goldilocks."""
+    return max(1, -(-256 // cfg.field.modulus_bit_size))
+
+
+def compress_digest_pairs(
+    cfg: PoseidonConfig, left: jnp.ndarray, right: jnp.ndarray, backend: str = "auto"
+) -> jnp.ndarray:
+    """Batched 2-to-1 digest compression: (d, L, B) x (d, L, B) -> (d, L, B).
+
+    Semantics = fresh sponge, absorb the 2d concatenated elements, squeeze d —
+    i.e. ``hash_elements`` on the pair; one permutation when 2d <= rate
+    (the Goldilocks default: d = 4, rate = 8), the duplex chunking otherwise.
+    ``compress_pairs`` is the d = 1 special case.
+    """
+    d = left.shape[0]
+    return hash_elements(
+        cfg, jnp.concatenate([left, right], axis=0), num_outputs=d, backend=backend
+    )
+
+
+def _level_compress_wide(cfg, level, backend, chunk):
+    d, L, n2 = level.shape
+    pairs = level.reshape(d, L, n2 // 2, 2)
+    l, r = pairs[..., 0], pairs[..., 1]
+    n = l.shape[-1]
+    if n > chunk and n % chunk == 0:
+        return jnp.concatenate(
+            [
+                compress_digest_pairs(
+                    cfg, l[..., i : i + chunk], r[..., i : i + chunk], backend
+                )
+                for i in range(0, n, chunk)
+            ],
+            axis=-1,
+        )
+    if n < chunk and jax.default_backend() == "tpu":
+        pad = chunk - n
+        lp = jnp.pad(l, [(0, 0), (0, 0), (0, pad)])
+        rp = jnp.pad(r, [(0, 0), (0, 0), (0, pad)])
+        return compress_digest_pairs(cfg, lp, rp, backend)[..., :n]
+    return compress_digest_pairs(cfg, l, r, backend)
+
+
+def merkle_tree_wide(
+    cfg: PoseidonConfig,
+    leaves: jnp.ndarray,
+    backend: str = "auto",
+    chunk: int = 1 << 17,
+) -> list:
+    """All levels of a wide-digest Merkle tree, leaves first.
+
+    ``leaves``: (d, L, N) Montgomery digest plane, N a power of two.  Returns
+    [(d, L, N), (d, L, N/2), ..., (d, L, 1)].
+    """
+    d, L, N = leaves.shape
+    if N & (N - 1):
+        raise ValueError("leaf count must be a power of two")
+    levels = [leaves]
+    while levels[-1].shape[-1] > 1:
+        levels.append(_level_compress_wide(cfg, levels[-1], backend, chunk))
+    return levels
+
+
+def merkle_root_wide(
+    cfg: PoseidonConfig,
+    leaves: jnp.ndarray,
+    backend: str = "auto",
+    chunk: int = 1 << 17,
+) -> jnp.ndarray:
+    """(d, L, N) digest plane -> (d, L) root (see ``merkle_tree_wide``)."""
+    level = leaves
+    d, L, N = level.shape
+    if N & (N - 1):
+        raise ValueError("leaf count must be a power of two")
+    while level.shape[-1] > 1:
+        level = _level_compress_wide(cfg, level, backend, chunk)
+    return level[..., 0]
+
+
+def merkle_open_batch_wide(levels: list, indices) -> jnp.ndarray:
+    """Authentication paths for K leaves of a wide tree, one device program.
+
+    Returns a ``(depth, d, L, K)`` plane of sibling digests.
+    """
+    import numpy as np
+
+    n = levels[0].shape[-1]
+    idx_np = np.asarray(indices, dtype=np.int64)
+    if idx_np.size and (idx_np.min() < 0 or idx_np.max() >= n):
+        raise IndexError(f"leaf index out of range for {n} leaves")
+
+    @jax.jit
+    def gather(levels_t, idx):
+        sibs = []
+        for level in levels_t:
+            sibs.append(jnp.take(level, idx ^ 1, axis=2))
+            idx = idx >> 1
+        return jnp.stack(sibs, axis=0)
+
+    return gather(tuple(levels[:-1]), jnp.asarray(idx_np, dtype=jnp.int32))
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "backend"))
+def _verify_batch_wide_device(cfg, root, leaves, paths, indices, backend):
+    fs = cfg.field
+    cur = leaves  # (d, L, K)
+    idx = indices
+    for lvl in range(paths.shape[0]):
+        sib = paths[lvl]
+        is_left = (idx & 1)[None, None, :] == 0
+        l = jnp.where(is_left, cur, sib)
+        r = jnp.where(is_left, sib, cur)
+        cur = compress_digest_pairs(cfg, l, r, backend)
+        idx = idx >> 1
+    got = mont.from_mont(fs, cur)
+    want = mont.from_mont(fs, root[..., None])
+    return jnp.all(got == want, axis=(0, 1))
+
+
+def merkle_verify_batch_wide(
+    cfg: PoseidonConfig,
+    root: jnp.ndarray,
+    leaves: jnp.ndarray,
+    paths: jnp.ndarray,
+    indices,
+    backend: str = "auto",
+) -> jnp.ndarray:
+    """Verify K wide-digest proofs in one fused device program.
+
+    ``root``: (d, L); ``leaves``: (d, L, K); ``paths``: (depth, d, L, K) as
+    from ``merkle_open_batch_wide``; ``indices``: (K,) ints -> (K,) bools.
+    """
+    import numpy as np
+
+    depth = paths.shape[0]
+    idx_np = np.asarray(indices, dtype=np.int64)
+    if idx_np.size and (idx_np.min() < 0 or idx_np.max() >= (1 << depth)):
+        raise IndexError(f"leaf index out of range for path depth {depth}")
+    return _verify_batch_wide_device(
+        cfg, root, leaves, paths, jnp.asarray(idx_np, dtype=jnp.int32), backend
+    )

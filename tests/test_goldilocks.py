@@ -171,3 +171,64 @@ def test_merkle_and_transcript_goldilocks():
         want = o.squeeze_native_field_elements(2)
         got = [GL.limbs_to_int(out[k][:, b]) for k in range(2)]
         assert got == want, b
+
+
+def test_wide_digest_merkle():
+    """4-element (256-bit) digests over Goldilocks: tree, root, batched
+    open/verify — all vs an oracle chain (absorb 8, squeeze 4 per node)."""
+    from sponge_tpu.hash import (
+        default_digest_elems,
+        merkle_open_batch_wide,
+        merkle_root_wide,
+        merkle_tree_wide,
+        merkle_verify_batch_wide,
+    )
+
+    d = default_digest_elems(CFG)
+    assert d == 4
+    N = 8
+    leaf_digests = [rand_gl(d, seed=200 + i) for i in range(N)]  # [N][d]
+    leaves = jnp.asarray(
+        np.stack(
+            [GL.ints_to_mont_plane([leaf_digests[n][k] for n in range(N)])
+             for k in range(d)],
+            axis=0,
+        )
+    )  # (d, L, N)
+
+    levels = merkle_tree_wide(CFG, leaves)
+    root = merkle_root_wide(CFG, leaves)
+    assert np.array_equal(np.asarray(levels[-1][..., 0]), np.asarray(root))
+
+    def compress(a, b):  # oracle: absorb 2d, squeeze d
+        o = OraclePoseidonSponge(CFG)
+        o.absorb_field_elements(a + b)
+        return o.squeeze_native_field_elements(d)
+
+    lvl = leaf_digests
+    while len(lvl) > 1:
+        lvl = [compress(lvl[i], lvl[i + 1]) for i in range(0, len(lvl), 2)]
+    root_ints = [GL.mont_limbs_to_int(np.asarray(root[k])) for k in range(d)]
+    assert root_ints == lvl[0]
+
+    # Batched open + verify; tampered leaves must fail.
+    idx = [0, 3, 5, 6]
+    paths = merkle_open_batch_wide(levels, idx)
+    opened = jnp.stack([leaves[..., i] for i in idx], axis=-1)  # (d, L, K)
+    ok = merkle_verify_batch_wide(CFG, root, opened, paths, idx)
+    assert bool(np.asarray(ok).all())
+    bad = opened.at[0, 0, 1].add(1)
+    ok2 = np.asarray(merkle_verify_batch_wide(CFG, root, bad, paths, idx))
+    assert ok2[0] and not ok2[1] and ok2[2] and ok2[3]
+
+
+def test_wide_digest_d1_matches_narrow():
+    """d = 1 wide tree == the narrow Merkle functions (structural identity)."""
+    from sponge_tpu.hash import merkle_root, merkle_root_wide
+
+    leaves_int = rand_gl(8, seed=77)
+    narrow = merkle_root(CFG, jnp.asarray(GL.ints_to_mont_plane(leaves_int)))
+    wide = merkle_root_wide(
+        CFG, jnp.asarray(GL.ints_to_mont_plane(leaves_int))[None]
+    )
+    assert np.array_equal(np.asarray(narrow), np.asarray(wide[0]))
