@@ -1,7 +1,7 @@
 """Multi-device distribution: mesh setup, sharded permutation, sharded Merkle."""
 
 from .mesh import DATA_AXIS, batch_sharding, leaf_sharding, make_mesh, replicated
-from .merkle import sharded_merkle_root
+from .merkle import sharded_merkle_root, sharded_merkle_root_wide
 from .sharded import sharded_permute_fn, sharded_state, sharded_transcript_fn
 
 __all__ = [
@@ -11,6 +11,7 @@ __all__ = [
     "make_mesh",
     "replicated",
     "sharded_merkle_root",
+    "sharded_merkle_root_wide",
     "sharded_permute_fn",
     "sharded_state",
     "sharded_transcript_fn",

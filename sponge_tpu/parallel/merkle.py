@@ -68,3 +68,44 @@ def sharded_merkle_root(
         level = jax.device_put(level, NamedSharding(mesh, P()))
         level = merkle_root(cfg, level, backend="xla")[:, None]
     return level[:, 0]
+
+
+def sharded_merkle_root_wide(
+    cfg: PoseidonConfig,
+    leaves: jnp.ndarray,
+    mesh: Mesh,
+    backend: str = "auto",
+) -> jnp.ndarray:
+    """Wide-digest variant: (d, L, N) digest plane sharded over ``mesh`` ->
+    (d, L) root.  Same contiguous-pair layout and reshard-at-narrow cutover as
+    ``sharded_merkle_root``; each node is a d-element digest (see
+    ``hash.merkle_root_wide`` — the security-correct shape for small fields)."""
+    from ..hash import compress_digest_pairs, merkle_root_wide
+
+    d, L, N = leaves.shape
+    if N & (N - 1):
+        raise ValueError("leaf count must be a power of two")
+    D = mesh.devices.size
+
+    def local_layer(chunk):
+        n = chunk.shape[-1]
+        pairs = chunk.reshape(d, L, n // 2, 2)
+        return compress_digest_pairs(cfg, pairs[..., 0], pairs[..., 1], backend)
+
+    layer = shard_map(
+        local_layer,
+        mesh=mesh,
+        in_specs=P(None, None, DATA_AXIS),
+        out_specs=P(None, None, DATA_AXIS),
+    )
+
+    level = jax.device_put(
+        leaves, NamedSharding(mesh, P(None, None, DATA_AXIS))
+    )
+    while level.shape[-1] >= 2 * D and level.shape[-1] > 1:
+        level = layer(level)
+
+    if level.shape[-1] > 1:
+        level = jax.device_put(level, NamedSharding(mesh, P()))
+        level = merkle_root_wide(cfg, level, backend="xla")[..., None]
+    return level[..., 0]

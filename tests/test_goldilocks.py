@@ -232,3 +232,25 @@ def test_wide_digest_d1_matches_narrow():
         CFG, jnp.asarray(GL.ints_to_mont_plane(leaves_int))[None]
     )
     assert np.array_equal(np.asarray(narrow), np.asarray(wide[0]))
+
+
+def test_sharded_wide_merkle_matches_single_device():
+    """Wide-digest Merkle sharded over the 8-device CPU mesh == single-device,
+    crossing the reshard-at-narrow cutover (N = 32 digests, D = 8)."""
+    from sponge_tpu.hash import merkle_root_wide
+    from sponge_tpu.parallel import make_mesh, sharded_merkle_root_wide
+
+    d = 4
+    N = 32
+    vals = [rand_gl(N, seed=300 + k) for k in range(d)]
+    leaves = jnp.asarray(
+        np.stack([GL.ints_to_mont_plane(row) for row in vals], axis=0)
+    )  # (d, L, N)
+    single = merkle_root_wide(CFG, leaves, backend="xla")
+    mesh = make_mesh()
+    sharded = sharded_merkle_root_wide(CFG, leaves, mesh, backend="xla")
+    from sponge_tpu.ops import montgomery as mont
+
+    a = np.asarray(mont.from_mont(GL, single[..., None]))
+    b = np.asarray(mont.from_mont(GL, sharded[..., None]))
+    assert np.array_equal(a, b)
