@@ -210,7 +210,20 @@ GOLDILOCKS_FR = FieldSpec(
     generator=7,
 )
 
-_FIELDS = {f.name: f for f in (BLS12_381_FR, BN254_FR, BLS12_377_FR, GOLDILOCKS_FR)}
+# BabyBear (15 * 2^27 + 1, 31 bits): the plonky3 / risc0 / sp1 field.  THREE
+# 12-bit limbs per element — each Montgomery reduction costs (3/22)^2 ~ 54x
+# less than the 255-bit fields.  Default sponge geometry rate 8 / capacity 8
+# (248 capacity bits; the plonky3-family standard for ~128-bit security).
+BABYBEAR_FR = FieldSpec(
+    name="babybear_fr",
+    modulus=(15 << 27) + 1,
+    generator=31,
+)
+
+_FIELDS = {
+    f.name: f
+    for f in (BLS12_381_FR, BN254_FR, BLS12_377_FR, GOLDILOCKS_FR, BABYBEAR_FR)
+}
 
 
 def get_field(name: str) -> FieldSpec:

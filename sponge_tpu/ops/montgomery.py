@@ -142,6 +142,7 @@ def mont_mul(
     b: jnp.ndarray,
     p: Optional[jnp.ndarray] = None,
     nprime: Optional[jnp.ndarray] = None,
+    final_norm=None,
 ) -> jnp.ndarray:
     """Batched Montgomery product ``a * b * R^{-1}`` over (..., L, B) limb planes.
 
@@ -190,6 +191,13 @@ def mont_mul(
     r = jnp.concatenate(
         [s_hi[..., :1, :] + c[..., None, :], s_hi[..., 1:, :]], axis=-2
     )
+    # ``final_norm`` overrides the closing normalization.  The default 3-pass
+    # carry_pass chain drops the top carry, which is sound only while the
+    # result value (< T/R + p) provably stays below R — true for the < 4p
+    # value discipline of the Poseidon tiers; value-safe callers
+    # (mont_mul_fold) substitute a rho-folding norm instead.
+    if final_norm is not None:
+        return final_norm(r)
     return normalize(r, passes=3)
 
 
@@ -306,3 +314,108 @@ class OracleField:
 
     def neg(self, a: int) -> int:
         return (-a) % self.p
+
+
+# ----------------------------------------------------------------------------------
+# Top-carry rho-folding (value-safe normalization for ANY R/p headroom).
+#
+# carry_pass drops the carry popped off the top limb — sound only while values
+# provably stay below R = 2^(12L).  Schedules whose linear layers never
+# Montgomery-reduce (Poseidon2) or whose row sums approach R/p (wide states
+# over small fields) instead use fold_norm: an exact sequential carry pass
+# whose final carry c is folded back as c * rho with rho = R mod p — exact
+# mod p, since 2^(12L) ≡ rho.  Fold counts are static, derived from exact
+# python-int value bounds (same scheme as ops/pallas_cios' kernel-side
+# folding; see ops/pallas_p2._fold_count).
+# ----------------------------------------------------------------------------------
+
+
+def _exact_pass(x: jnp.ndarray):
+    """One exact sequential carry pass along the limb axis.
+
+    Returns (limbs <= 0xfff, top_carry) — nothing is dropped; the caller folds
+    or proves the top carry zero."""
+    L = x.shape[-2]
+    c = jnp.zeros_like(x[..., 0, :])
+    outs = []
+    for k in range(L):
+        v = x[..., k, :] + c
+        outs.append(v & LIMB_MASK)
+        c = v >> LIMB_BITS
+    return jnp.stack(outs, axis=-2), c
+
+
+def fold_count(R: int, rho: int, vmax: int) -> int:
+    """Folds guaranteeing value < R from the exclusive value bound ``vmax``
+    (same recurrence as the Pallas kernels use)."""
+    folds = 0
+    while vmax > R:
+        cm = (vmax - 1) // R
+        cand = cm * rho + (vmax - 1 - cm * R)
+        if cm >= 1:
+            cand = max(cand, (cm - 1) * rho + (R - 1))
+        vmax = cand + 1
+        folds += 1
+        if folds > 16:
+            raise AssertionError("rho-folding does not converge; bad field spec")
+    return folds
+
+
+@functools.lru_cache(maxsize=None)
+def _rho_col(fs: FieldSpec) -> "np.ndarray":
+    return fs.int_to_limbs(fs.r % fs.modulus).astype(np.int32)[:, None]
+
+
+def fold_norm(
+    fs: FieldSpec,
+    x: jnp.ndarray,
+    deferred_limb_bound: int = 0,
+    vmax: int = 0,
+) -> jnp.ndarray:
+    """Exact normalization of a deferred limb plane with statically-counted
+    top-carry rho-folds: output limbs <= 2^12, value < R, exact mod p.
+
+    Give either ``deferred_limb_bound`` (inclusive bound on the input limbs,
+    e.g. row_sum * 2^12 after an un-reduced linear layer — the value bound is
+    derived from it) or an explicit exclusive value bound ``vmax`` when a
+    tighter one is known.  Cost: (folds + 1) exact sequential carry passes —
+    the value-safe replacement for ``normalize`` wherever values may reach R.
+    """
+    R, p = fs.r, fs.modulus
+    rho = R % p
+    if not vmax:
+        assert deferred_limb_bound > 0
+        vmax = deferred_limb_bound * ((R - 1) // LIMB_MASK) + 1
+    folds = fold_count(R, rho, vmax)
+    rho_col = jnp.asarray(_rho_col(fs))
+    for _ in range(folds):
+        x, c = _exact_pass(x)
+        x = x + c[..., None, :] * rho_col
+    out, _c = _exact_pass(x)  # top carry provably zero by fold_count
+    return out
+
+
+def mont_mul_fold(fs: FieldSpec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """``mont_mul`` whose closing normalization rho-folds: value-safe for
+    ANY inputs with values < R (the plain tail drops a top carry when
+    T/R + p >= R).  Output: limbs <= 2^12, value < R, exact mod p."""
+    # T < R^2 strictly (inputs < R strictly), so the result value is
+    # < T/R + p < R + p: one fold suffices.
+    return mont_mul(
+        fs, a, b,
+        final_norm=lambda r: fold_norm(fs, r, vmax=fs.r + fs.modulus + 1),
+    )
+
+
+def mont_pow_fold(fs: FieldSpec, x: jnp.ndarray, alpha: int) -> jnp.ndarray:
+    """x^alpha via square-and-multiply over ``mont_mul_fold`` (value-safe)."""
+    assert alpha >= 1
+    bits = bin(alpha)[2:]
+    acc = x
+    for bit in bits[1:]:
+        acc = mont_mul_fold(fs, acc, acc)
+        if bit == "1":
+            acc = mont_mul_fold(fs, acc, x)
+    return acc
+
+

@@ -191,6 +191,13 @@ _GOLDILOCKS_CONSTRAINTS = (
     (8, 7, 8, 22, 0),
 )
 
+# BabyBear (31-bit): x^7 S-box (p - 1 = 2^27 * 3 * 5, so 3 and 5 divide it
+# but 7 does not); round numbers follow the plonky3-family t=16 instance
+# (R_F=8, R_P=13).  Capacity 8 elements = 248 capacity bits.
+_BABYBEAR_CONSTRAINTS = (
+    (8, 7, 8, 13, 0),
+)
+
 _DEFAULT_TABLES = {
     "bls12_381_fr": {False: _BLS12_381_FR_CONSTRAINTS, True: _BLS12_381_FR_WEIGHTS},
     # The BLS tables target any ~255-bit prime via the Grain seed, so reuse them as
@@ -199,13 +206,14 @@ _DEFAULT_TABLES = {
     "bn254_fr": {False: _BLS12_381_FR_CONSTRAINTS, True: _BLS12_381_FR_WEIGHTS},
     "bls12_377_fr": {False: _BLS12_377_FR_CONSTRAINTS, True: _BLS12_381_FR_WEIGHTS},
     "goldilocks_fr": {False: _GOLDILOCKS_CONSTRAINTS, True: _GOLDILOCKS_CONSTRAINTS},
+    "babybear_fr": {False: _BABYBEAR_CONSTRAINTS, True: _BABYBEAR_CONSTRAINTS},
 }
 
 # Sponge capacity in state elements.  The reference hardcodes 1
 # (traits.rs:96), which gives ~p/2 bits of capacity — fine for 255-bit
 # fields, far too small for 64-bit ones: 128-bit sponge security needs
 # >= 256 capacity bits = 4 Goldilocks elements.
-_DEFAULT_CAPACITY = {"goldilocks_fr": 4}
+_DEFAULT_CAPACITY = {"goldilocks_fr": 4, "babybear_fr": 8}
 
 
 @functools.lru_cache(maxsize=None)

@@ -29,6 +29,49 @@ from ..ops import montgomery as mont
 from .config import PoseidonConfig, device_constants
 
 
+@functools.lru_cache(maxsize=None)
+def check_value_bounds(cfg: PoseidonConfig) -> None:
+    """Statically simulate worst-case VALUES through the XLA-tier round.
+
+    The tier's value discipline is self-reducing (every round ends in
+    Montgomery-reduced MDS products), but the un-reduced MDS *sum* is bounded
+    by t * (V p / R + p) and the next constant add by + p — for wide states
+    over minimum-headroom fields (e.g. a 31-bit field at t = 24, R/p = 32)
+    this reaches R, where ``carry_pass`` silently drops a top carry.  Raise
+    for such combinations instead of corrupting; every shipped default
+    passes.  (The Pallas kernels' lazy-REDC discipline keeps values < 4p and
+    is unaffected; the Poseidon2 XLA tier rho-folds and needs no check.)
+    """
+    fs = cfg.field
+    p, R = fs.modulus, fs.r
+    t = cfg.t
+
+    def mul(a: int, b: int) -> int:
+        if a >= R or b >= R:
+            raise ValueError(
+                f"Poseidon XLA-tier value bound reaches R for t={t} over "
+                f"{fs.name} (R/p headroom too small for this width); use the "
+                f"Pallas tier or a wider limb plan"
+            )
+        return (a * b) // R + p + 1
+
+    def sbox(v: int) -> int:
+        acc = v
+        for bit in bin(cfg.alpha)[2:][1:]:
+            acc = mul(acc, acc)
+            if bit == "1":
+                acc = mul(acc, v)
+        return acc
+
+    V = p  # canonical inputs
+    for _ in range(cfg.rounds + 2):  # iterate past the round count to fixpoint
+        V = V + p  # ark add
+        V = sbox(V)
+        V = t * mul(V, p)  # MDS row: t reduced products, un-reduced sum
+        if V >= R:
+            mul(R, R)  # raise with the standard message
+
+
 def _round(cfg, ark_r, mds, state, full: bool):
     """One Poseidon round on (t, L, B) state. ``ark_r``: (t, L, 1); ``mds``: (t, t, L, 1)."""
     fs = cfg.field
@@ -50,6 +93,7 @@ def _round(cfg, ark_r, mds, state, full: bool):
 
 def permute(cfg: PoseidonConfig, state: jnp.ndarray) -> jnp.ndarray:
     """Full Poseidon permutation on a (t, L, B) Montgomery limb-plane state batch."""
+    check_value_bounds(cfg)  # lru-cached; raises for unsafe (field, t) combos
     consts = device_constants(cfg)
     ark = jnp.asarray(consts["ark"])  # (R, t, L, 1)
     mds = jnp.asarray(consts["mds"])  # (t, t, L, 1)

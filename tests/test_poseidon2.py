@@ -25,10 +25,7 @@ from sponge_tpu import (
     get_default_poseidon2_parameters,
 )
 from sponge_tpu.poseidon2.params import external_matrix, internal_diag
-from sponge_tpu.poseidon2.permutation import (
-    check_value_bounds,
-    poseidon2_permute_jit,
-)
+from sponge_tpu.poseidon2.permutation import poseidon2_permute_jit
 
 
 def rand_ints(fs, n, seed=20260817):
@@ -71,7 +68,6 @@ def test_default_parameters_bls():
     assert cfg.alpha == 17 and cfg.full_rounds == 8 and cfg.partial_rounds == 31
     assert cfg.mat_e == ((2, 1, 1), (1, 2, 1), (1, 1, 2))
     assert cfg.mat_i_diag == (2, 2, 3)
-    check_value_bounds(cfg)  # XLA tier bound analysis must accept defaults
 
 
 def test_config_validation():
@@ -418,22 +414,17 @@ def test_default_parameters_other_fields():
     for fs in (BN254_FR, BLS12_377_FR):
         cfg = get_default_poseidon2_parameters(fs, 2)
         assert cfg.t == 3 and cfg.mat_i_diag == (2, 2, 3)
-        check_value_bounds(cfg)
 
 
-def test_value_bound_gate_blocks_unsafe_configs():
-    """A (field, width) combination whose worst-case values could reach the
-    Montgomery radix must RAISE from the XLA tier, not corrupt silently
-    (code-review round-2 finding: the check existed but was never invoked)."""
+def test_minimum_headroom_wide_state_matches_oracle():
+    """The hardest value-growth case for the XLA tier: a minimum-headroom
+    field (44-bit prime, R/p ~ 16) at t = 8, where the external row sums
+    exceed R within one round.  The rho-folding discipline must stay exact
+    (an earlier design raised here; the folding one must simply be right)."""
     from sponge_tpu.fields import FieldSpec
-    from sponge_tpu.poseidon2.permutation import ValueBoundError
 
-    # 44-bit prime -> nlimbs=4, R = 2^48, R/p ~ 16: minimum headroom.
     low_headroom = FieldSpec(
         name="low_headroom_44", modulus=(1 << 44) - 17, generator=3
     )
     cfg = generate_poseidon2_parameters(low_headroom, 7, 5, 4, 4)  # t=8
-    with pytest.raises(ValueBoundError):
-        poseidon2_permute_jit(cfg)(
-            jnp.zeros((cfg.t, low_headroom.nlimbs, 8), dtype=jnp.int32)
-        )
+    _xla_vs_oracle(cfg)
