@@ -165,6 +165,47 @@ def bench_goldilocks(log_batch=20, reps=6):
             "value": int(pps), "unit": "perms/s"}
 
 
+def bench_babybear_p2(log_batch=20, reps=6):
+    """Additive capability: BabyBear Poseidon2 rate-8 (t=16) — the framework's
+    highest-throughput permutation (REDC-free linear layers over 3-limb
+    elements).  Oracle-gated on TPU."""
+    from sponge_tpu import BABYBEAR_FR as BB, OraclePoseidon2Sponge, get_default_poseidon2_parameters
+    from sponge_tpu.poseidon2.permutation import batched_permute2
+
+    cfg = get_default_poseidon2_parameters(BB, 8)
+    B = 1 << log_batch
+    state_np = np.zeros((cfg.t, BB.nlimbs, B), dtype=np.int32)
+    vals = None
+    if jax.default_backend() == "tpu":
+        rng = np.random.default_rng(7)
+        lanes = 256
+        vals = [
+            [int(v) % BB.modulus for v in rng.integers(0, 1 << 62, size=lanes)]
+            for _ in range(cfg.t)
+        ]
+        state_np[:, :, :lanes] = np.stack(
+            [BB.ints_to_mont_plane(row) for row in vals], axis=0
+        )
+    out = batched_permute2(cfg, jnp.asarray(state_np))
+    if vals is not None:
+        out_np = np.asarray(out[:, :, :256])
+        for b in range(0, 256, 51):
+            o = OraclePoseidon2Sponge(cfg)
+            o.state = [vals[i][b] for i in range(cfg.t)]
+            o.permute()
+            got = [BB.mont_limbs_to_int(out_np[i][:, b]) for i in range(cfg.t)]
+            if got != o.state:
+                raise RuntimeError(f"BabyBear Poseidon2 parity failure at lane {b}")
+    sync(out)
+    t0 = time.time()
+    for _ in range(reps):
+        out = batched_permute2(cfg, out)
+    sync(out)
+    pps = reps * B / (time.time() - t0)
+    return {"name": "BabyBear Poseidon2 rate-8 permutation (t=16, B=2^%d, oracle-gated)" % log_batch,
+            "value": int(pps), "unit": "perms/s"}
+
+
 def bench_bn254(log_batch=17, reps=4):
     """Config 2: BN254 Fr parameterization (rate 3, alpha=5) throughput."""
     from sponge_tpu import BN254_FR, get_default_poseidon_parameters
@@ -315,6 +356,7 @@ def main():
     rows.append(bench_batched_permutation(14 if args.quick else 20))
     rows.append(bench_poseidon2(14 if args.quick else 20))
     rows.append(bench_goldilocks(14 if args.quick else 20))
+    rows.append(bench_babybear_p2(14 if args.quick else 20))
     rows.append(bench_bn254(12 if args.quick else 17))
     rows.append(bench_merkle(14 if args.quick else 24))
     rows.append(bench_transcript(1 << (10 if args.quick else 14)))
