@@ -33,7 +33,16 @@ from .absorb import (
     to_sponge_field_elements,
 )
 from .absorb import field_cast
-from .fields import BABYBEAR_FR, BLS12_377_FR, BLS12_381_FR, BN254_FR, GOLDILOCKS_FR, FieldSpec, get_field
+from .fields import (
+    BABYBEAR_FR,
+    BLS12_377_FR,
+    BLS12_381_FR,
+    BN254_FR,
+    GOLDILOCKS_FR,
+    MERSENNE31_FR,
+    FieldSpec,
+    get_field,
+)
 from .poseidon.config import PoseidonConfig
 from .poseidon.oracle import (
     ABSORBING,
@@ -82,6 +91,7 @@ __all__ = [
     "BLS12_377_FR",
     "GOLDILOCKS_FR",
     "BABYBEAR_FR",
+    "MERSENNE31_FR",
     "FieldSpec",
     "get_field",
     "PoseidonConfig",

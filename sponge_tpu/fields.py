@@ -220,9 +220,28 @@ BABYBEAR_FR = FieldSpec(
     generator=31,
 )
 
+# Mersenne31 (2^31 - 1): plonky3's other flagship small field (circle STARKs).
+# Same 3 x 12-bit limb plane as BabyBear.  The generic Montgomery machinery
+# applies unchanged (p is odd); the special shift-add Mersenne reduction is a
+# host-side nicety this batched limb design doesn't need.  x^5 S-box
+# (gcd(5, p-1) = 1; 7 divides p-1 so BabyBear's alpha=7 would NOT permute);
+# generator 7 is a primitive root (p-1 = 2 * 3^2 * 7 * 11 * 31 * 151 * 331).
+MERSENNE31_FR = FieldSpec(
+    name="mersenne31_fr",
+    modulus=(1 << 31) - 1,
+    generator=7,
+)
+
 _FIELDS = {
     f.name: f
-    for f in (BLS12_381_FR, BN254_FR, BLS12_377_FR, GOLDILOCKS_FR, BABYBEAR_FR)
+    for f in (
+        BLS12_381_FR,
+        BN254_FR,
+        BLS12_377_FR,
+        GOLDILOCKS_FR,
+        BABYBEAR_FR,
+        MERSENNE31_FR,
+    )
 }
 
 

@@ -44,7 +44,11 @@ def tile_for(cfg: PoseidonConfig) -> int:
     temporaries fit the 16 MB scoped-VMEM budget."""
     L = cfg.field.nlimbs
     tile = DEFAULT_TILE
-    while tile > 128 and 4 * cfg.t * cfg.t * 2 * L * tile * 4 > 12 * (1 << 20):
+    # Budget 8 MB against the 16 MB scoped-VMEM limit: Mosaic's measured
+    # stack allocation runs ~1.5x this t^2 product-term estimate (observed
+    # 18.47M actual vs 12.58M estimated at t=16, L=3 — a hard OOM when the
+    # budget was 12 MB), so keep ~2x headroom.
+    while tile > 128 and 4 * cfg.t * cfg.t * 2 * L * tile * 4 > 8 * (1 << 20):
         tile //= 2
     return tile
 

@@ -198,6 +198,13 @@ _BABYBEAR_CONSTRAINTS = (
     (8, 7, 8, 13, 0),
 )
 
+# Mersenne31 (2^31 - 1): x^5 S-box (gcd(5, p-1) = 1; 7 | p-1 rules out x^7);
+# round numbers follow the plonky3-family t=16 alpha=5 instance (R_F=8,
+# R_P=14).  Capacity 8 elements = 248 capacity bits, as for BabyBear.
+_MERSENNE31_CONSTRAINTS = (
+    (8, 5, 8, 14, 0),
+)
+
 _DEFAULT_TABLES = {
     "bls12_381_fr": {False: _BLS12_381_FR_CONSTRAINTS, True: _BLS12_381_FR_WEIGHTS},
     # The BLS tables target any ~255-bit prime via the Grain seed, so reuse them as
@@ -207,13 +214,14 @@ _DEFAULT_TABLES = {
     "bls12_377_fr": {False: _BLS12_377_FR_CONSTRAINTS, True: _BLS12_381_FR_WEIGHTS},
     "goldilocks_fr": {False: _GOLDILOCKS_CONSTRAINTS, True: _GOLDILOCKS_CONSTRAINTS},
     "babybear_fr": {False: _BABYBEAR_CONSTRAINTS, True: _BABYBEAR_CONSTRAINTS},
+    "mersenne31_fr": {False: _MERSENNE31_CONSTRAINTS, True: _MERSENNE31_CONSTRAINTS},
 }
 
 # Sponge capacity in state elements.  The reference hardcodes 1
 # (traits.rs:96), which gives ~p/2 bits of capacity — fine for 255-bit
 # fields, far too small for 64-bit ones: 128-bit sponge security needs
 # >= 256 capacity bits = 4 Goldilocks elements.
-_DEFAULT_CAPACITY = {"goldilocks_fr": 4, "babybear_fr": 8}
+_DEFAULT_CAPACITY = {"goldilocks_fr": 4, "babybear_fr": 8, "mersenne31_fr": 8}
 
 
 @functools.lru_cache(maxsize=None)
