@@ -1,0 +1,90 @@
+"""Rescue-Prime on-TPU parity + throughput probe.
+
+Rescue's inverse S-box is a ~log2(p)-bit exponent ladder per element-round,
+so its forward throughput is designed-in orders of magnitude below Poseidon
+(the family trades prover-side work for in-circuit cheapness — see
+rescue/permutation.py).  This probe records the measured cost of that trade
+on TPU for the two ends of the field-size spectrum: BLS12-381 Fr rate-2
+(255-bit ladder) and Mersenne31 rate-8 (31-bit ladder).  Parity-gated
+against the scalar oracle before timing, like bench/goldilocks_probe.py.
+
+Run: python bench/rescue_probe.py
+"""
+
+from __future__ import annotations
+
+import json
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    jax.config.update("jax_compilation_cache_dir", "/tmp/sponge_tpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from sponge_tpu import (
+        BLS12_381_FR as FR,
+        MERSENNE31_FR as M31,
+        OracleRescueSponge,
+        get_default_rescue_parameters,
+    )
+    from sponge_tpu.rescue.permutation import rescue_permute_jit
+
+    rng = np.random.default_rng(20260817)
+    lanes = 64
+
+    for label, fs, rate, B in (
+        ("bls381_rate2", FR, 2, 1 << 17),
+        ("mersenne31_rate8", M31, 8, 1 << 18),
+    ):
+        cfg = get_default_rescue_parameters(fs, rate)
+        t = cfg.t
+        vals = [
+            [int(v) % fs.modulus for v in rng.integers(0, 1 << 62, size=lanes)]
+            for _ in range(t)
+        ]
+        state_np = np.zeros((t, fs.nlimbs, B), dtype=np.int32)
+        state_np[:, :, :lanes] = np.stack(
+            [fs.ints_to_mont_plane(row) for row in vals], axis=0
+        )
+        fn = rescue_permute_jit(cfg)
+        out = fn(jnp.asarray(state_np))
+        out_np = np.asarray(out[:, :, :lanes])
+        for b in range(0, lanes, 13):
+            o = OracleRescueSponge(cfg)
+            o.state = [vals[i][b] for i in range(t)]
+            o.permute()
+            got = [fs.mont_limbs_to_int(out_np[i][:, b]) for i in range(t)]
+            if got != o.state:
+                raise RuntimeError(f"rescue {label} PARITY FAILURE at lane {b}")
+        iters = 5
+        cur = out
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            cur = fn(cur)
+        _ = np.asarray(cur[0, 0, :8])
+        dt = time.perf_counter() - t0
+        pps = iters * B / dt
+        print(
+            json.dumps(
+                {
+                    "metric": f"rescue_{label}_perms_per_sec",
+                    "value": int(pps),
+                    "unit": "perms/s",
+                    "rounds": cfg.rounds,
+                    "parity": "ok",
+                }
+            )
+        )
+
+
+if __name__ == "__main__":
+    main()

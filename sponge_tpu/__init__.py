@@ -65,6 +65,12 @@ from .poseidon2 import (
     generate_poseidon2_parameters,
     get_default_poseidon2_parameters,
 )
+from .rescue import (
+    OracleRescueSponge,
+    RescueConfig,
+    generate_rescue_parameters,
+    get_default_rescue_parameters,
+)
 from .lazy import LazyPoseidonSponge
 from .poseidon.host import (
     HostPoseidon2Sponge,
@@ -105,6 +111,10 @@ __all__ = [
     "OraclePoseidon2Sponge",
     "generate_poseidon2_parameters",
     "get_default_poseidon2_parameters",
+    "RescueConfig",
+    "OracleRescueSponge",
+    "generate_rescue_parameters",
+    "get_default_rescue_parameters",
     "host_available",
     "host_run_schedule",
     "Batched",

@@ -1,0 +1,156 @@
+"""Batched Rescue-Prime permutation over limb-plane state (pure-JAX tier).
+
+Same batched functional shape as the Poseidon XLA tier
+(``poseidon.permutation``): ``state: (t, L, B) int32 Montgomery limb planes``.
+The Rescue-specific part is the inverse S-box x^(1/alpha): a ~log2(p)-bit
+fixed exponent, evaluated with a **square-and-multiply-always ladder** under
+``lax.fori_loop`` over the exponent's bit array — the multiply is computed
+unconditionally and selected with ``jnp.where``, keeping the traced graph to
+one ladder body regardless of exponent width (an unrolled chain would trace
+~380 Montgomery multiplies per round over a 255-bit field).
+
+No Pallas tier: the inverse S-box is a serial chain of hundreds of
+REDC-interleaved multiplies per element, which is exactly the latency-bound
+regime where the fused CIOS kernel measured no gain over XLA for Poseidon
+(docs/DESIGN.md §8 REDC-latency probes); the XLA tier IS the production
+tier for this family, and its throughput deficit vs Poseidon (~2 * ceil(
+log2 p) muls per element-round vs ~4) is intrinsic to Rescue's design —
+the family exists to be cheap in-circuit, not forward.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import montgomery as mont
+from .config import RescueConfig
+
+
+@functools.lru_cache(maxsize=None)
+def check_rescue_value_bounds(cfg: RescueConfig) -> None:
+    """Statically simulate worst-case VALUES through one Rescue round.
+
+    Same discipline as the Poseidon XLA tier's gate
+    (``poseidon.permutation.check_value_bounds``): Montgomery products are
+    self-reducing, but the un-reduced t-term MDS sum plus the constant add
+    must stay below R for ``carry_pass`` to be sound.  Raises for unsafe
+    (field, t) combinations; every shipped default passes.
+    """
+    fs = cfg.field
+    p, R = fs.modulus, fs.r
+    t = cfg.t
+
+    def mul(a: int, b: int) -> int:
+        if a >= R or b >= R:
+            raise ValueError(
+                f"Rescue XLA-tier value bound reaches R for t={t} over "
+                f"{fs.name} (R/p headroom too small for this width)"
+            )
+        return (a * b) // R + p + 1
+
+    def ladder_bound(v: int, exponent: int) -> int:
+        # square-and-multiply-always: bound converges after a couple of
+        # iterations; iterate the worst case a few steps past convergence.
+        acc = v
+        for _ in range(4):
+            acc = mul(acc, acc)
+            acc = max(acc, mul(acc, v))
+        return acc
+
+    V = p  # canonical inputs
+    for _ in range(cfg.rounds + 2):  # iterate to the round-to-round fixpoint
+        V = ladder_bound(V, cfg.alpha)
+        V = t * mul(V, p) + p  # MDS row sum (t reduced products) + rc add
+        if V >= R:
+            mul(R, R)  # raise with the standard message
+        V = ladder_bound(V, cfg.inv_alpha)
+        V = t * mul(V, p) + p
+        if V >= R:
+            mul(R, R)
+
+
+@functools.lru_cache(maxsize=None)
+def _device_constants(cfg: RescueConfig):
+    """Constants in device layout: rc (2N, t, L, 1) and mds (t, t, L, 1),
+    both Montgomery-form (same domain discipline as poseidon.config
+    .device_constants)."""
+    fs = cfg.field
+    rc = np.stack(
+        [np.stack([fs.int_to_mont_limbs(c) for c in row], axis=0) for row in cfg.rc],
+        axis=0,
+    ).astype(np.int32)[..., None]
+    mds = np.stack(
+        [np.stack([fs.int_to_mont_limbs(c) for c in row], axis=0) for row in cfg.mds],
+        axis=0,
+    ).astype(np.int32)[..., None]
+    return rc, mds
+
+
+def _pow_ladder(fs, x: jnp.ndarray, exponent: int) -> jnp.ndarray:
+    """x^exponent on Montgomery planes, MSB-first square-and-multiply-always.
+
+    For small exponents (the forward S-box) the unrolled static chain in
+    ``mont.mont_pow`` is cheaper; this ladder is for the ~log2(p)-bit inverse
+    exponent, looping over a static bit array with a selected multiply.
+    """
+    bits = bin(exponent)[2:]
+    if len(bits) <= 12:
+        return mont.mont_pow(fs, x, exponent)
+    bit_arr = jnp.asarray([b == "1" for b in bits], dtype=bool)
+
+    def body(i, acc):
+        acc = mont.mont_mul(fs, acc, acc)
+        return jnp.where(bit_arr[i], mont.mont_mul(fs, acc, x), acc)
+
+    return jax.lax.fori_loop(1, len(bits), body, x)
+
+
+def _mds_rc(fs, mds, state, rc_row):
+    """MDS matrix-vector product + constant injection on (t, L, B) planes.
+
+    ``mont_add`` normalizes internally (2 carry passes), which restores the
+    limb invariant after the t-term un-reduced sum (t * 2^12 + 2^12 < 2^17
+    per limb for every shipped width)."""
+    prod = mont.mont_mul(fs, mds, state[None])  # (t, t, L, B)
+    return mont.mont_add(fs, jnp.sum(prod, axis=1), rc_row)
+
+
+def rescue_permute(cfg: RescueConfig, state: jnp.ndarray) -> jnp.ndarray:
+    """Full Rescue-Prime permutation on a (t, L, B) Montgomery state batch."""
+    check_rescue_value_bounds(cfg)
+    fs = cfg.field
+    rc_np, mds_np = _device_constants(cfg)
+    rc = jnp.asarray(rc_np)  # (2N, t, L, 1)
+    mds = jnp.asarray(mds_np)  # (t, t, L, 1)
+    inv_alpha = cfg.inv_alpha
+
+    def round_body(r, st):
+        st = _pow_ladder(fs, st, cfg.alpha)
+        st = _mds_rc(fs, mds, st, rc[2 * r])
+        st = _pow_ladder(fs, st, inv_alpha)
+        return _mds_rc(fs, mds, st, rc[2 * r + 1])
+
+    return jax.lax.fori_loop(0, cfg.rounds, round_body, state)
+
+
+@functools.lru_cache(maxsize=None)
+def rescue_permute_jit(cfg: RescueConfig):
+    """Jitted permutation specialized to ``cfg`` (cached per config)."""
+    return jax.jit(functools.partial(rescue_permute, cfg))
+
+
+def batched_rescue_permute(cfg: RescueConfig, state, backend: str = "auto"):
+    """Backend-dispatched Rescue permutation (XLA tier on every backend; see
+    the module docstring for why no fused kernel exists for this family)."""
+    if backend not in ("auto", "xla"):
+        raise ValueError(f"unknown backend {backend!r} for Rescue")
+    return rescue_permute_jit(cfg)(state)
+
+
+def zero_state(cfg: RescueConfig, batch: int) -> jnp.ndarray:
+    """Zero-initialized sponge state batch (zero is 0 in Montgomery form)."""
+    return jnp.zeros((cfg.t, cfg.field.nlimbs, batch), dtype=jnp.int32)
