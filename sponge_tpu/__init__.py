@@ -39,6 +39,7 @@ from .fields import (
     BLS12_381_FR,
     BN254_FR,
     GOLDILOCKS_FR,
+    KOALABEAR_FR,
     MERSENNE31_FR,
     FieldSpec,
     get_field,
@@ -98,6 +99,7 @@ __all__ = [
     "GOLDILOCKS_FR",
     "BABYBEAR_FR",
     "MERSENNE31_FR",
+    "KOALABEAR_FR",
     "FieldSpec",
     "get_field",
     "PoseidonConfig",

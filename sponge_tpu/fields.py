@@ -232,6 +232,16 @@ MERSENNE31_FR = FieldSpec(
     generator=7,
 )
 
+# KoalaBear (2^31 - 2^24 + 1): the third plonky3 31-bit field.  Same
+# 3 x 12-bit limb plane as BabyBear/Mersenne31.  p - 1 = 2^24 * 127, so the
+# cubic S-box permutes (gcd(3, p-1) = 1 — the cheapest S-box of any shipped
+# field); generator 3 is a primitive root (3^((p-1)/2) != 1, 3^((p-1)/127) != 1).
+KOALABEAR_FR = FieldSpec(
+    name="koalabear_fr",
+    modulus=(1 << 31) - (1 << 24) + 1,
+    generator=3,
+)
+
 _FIELDS = {
     f.name: f
     for f in (
@@ -241,6 +251,7 @@ _FIELDS = {
         GOLDILOCKS_FR,
         BABYBEAR_FR,
         MERSENNE31_FR,
+        KOALABEAR_FR,
     )
 }
 

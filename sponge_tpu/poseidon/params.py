@@ -205,6 +205,15 @@ _MERSENNE31_CONSTRAINTS = (
     (8, 5, 8, 14, 0),
 )
 
+# KoalaBear (2^31 - 2^24 + 1): x^3 S-box (p - 1 = 2^24 * 127, so gcd(3, p-1)
+# = 1 — the cheapest permuting exponent of any shipped field); the lower
+# S-box degree buys its speed back in partial rounds: round numbers follow
+# the plonky3-family t=16 alpha=3 instance (R_F=8, R_P=20).  Capacity 8
+# elements = 248 capacity bits, as for the other 31-bit fields.
+_KOALABEAR_CONSTRAINTS = (
+    (8, 3, 8, 20, 0),
+)
+
 _DEFAULT_TABLES = {
     "bls12_381_fr": {False: _BLS12_381_FR_CONSTRAINTS, True: _BLS12_381_FR_WEIGHTS},
     # The BLS tables target any ~255-bit prime via the Grain seed, so reuse them as
@@ -215,13 +224,19 @@ _DEFAULT_TABLES = {
     "goldilocks_fr": {False: _GOLDILOCKS_CONSTRAINTS, True: _GOLDILOCKS_CONSTRAINTS},
     "babybear_fr": {False: _BABYBEAR_CONSTRAINTS, True: _BABYBEAR_CONSTRAINTS},
     "mersenne31_fr": {False: _MERSENNE31_CONSTRAINTS, True: _MERSENNE31_CONSTRAINTS},
+    "koalabear_fr": {False: _KOALABEAR_CONSTRAINTS, True: _KOALABEAR_CONSTRAINTS},
 }
 
 # Sponge capacity in state elements.  The reference hardcodes 1
 # (traits.rs:96), which gives ~p/2 bits of capacity — fine for 255-bit
 # fields, far too small for 64-bit ones: 128-bit sponge security needs
 # >= 256 capacity bits = 4 Goldilocks elements.
-_DEFAULT_CAPACITY = {"goldilocks_fr": 4, "babybear_fr": 8, "mersenne31_fr": 8}
+_DEFAULT_CAPACITY = {
+    "goldilocks_fr": 4,
+    "babybear_fr": 8,
+    "mersenne31_fr": 8,
+    "koalabear_fr": 8,
+}
 
 
 @functools.lru_cache(maxsize=None)

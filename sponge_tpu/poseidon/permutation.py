@@ -30,29 +30,32 @@ from .config import PoseidonConfig, device_constants
 
 
 @functools.lru_cache(maxsize=None)
-def check_value_bounds(cfg: PoseidonConfig) -> None:
+def check_value_bounds(cfg: PoseidonConfig) -> bool:
     """Statically simulate worst-case VALUES through the XLA-tier round.
 
-    The tier's value discipline is self-reducing (every round ends in
+    The fast tier's value discipline is self-reducing (every round ends in
     Montgomery-reduced MDS products), but the un-reduced MDS *sum* is bounded
     by t * (V p / R + p) and the next constant add by + p — for wide states
-    over minimum-headroom fields (e.g. a 31-bit field at t = 24, R/p = 32)
-    this reaches R, where ``carry_pass`` silently drops a top carry.  Raise
-    for such combinations instead of corrupting; every shipped default
-    passes.  (The Pallas kernels' lazy-REDC discipline keeps values < 4p and
-    is unaffected; the Poseidon2 XLA tier rho-folds and needs no check.)
+    over minimum-headroom fields, or for low-degree S-boxes whose single
+    squaring contracts too little per round (e.g. KoalaBear's alpha = 3 at
+    t = 16, R/p = 32), the round-to-round fixpoint diverges and reaches R,
+    where ``carry_pass`` silently drops a top carry.  Returns True when the
+    fast discipline is safe; False routes ``permute`` to the value-safe
+    rho-folding round (``_round_fold``) — exact for ANY (field, t, alpha),
+    a few exact carry passes slower.  (The Pallas kernels' lazy-REDC
+    discipline keeps values < 4p and is unaffected; the Poseidon2 XLA tier
+    always rho-folds and needs no check.)
     """
     fs = cfg.field
     p, R = fs.modulus, fs.r
     t = cfg.t
 
+    class _Overflow(Exception):
+        pass
+
     def mul(a: int, b: int) -> int:
         if a >= R or b >= R:
-            raise ValueError(
-                f"Poseidon XLA-tier value bound reaches R for t={t} over "
-                f"{fs.name} (R/p headroom too small for this width); use the "
-                f"Pallas tier or a wider limb plan"
-            )
+            raise _Overflow
         return (a * b) // R + p + 1
 
     def sbox(v: int) -> int:
@@ -63,13 +66,17 @@ def check_value_bounds(cfg: PoseidonConfig) -> None:
                 acc = mul(acc, v)
         return acc
 
-    V = p  # canonical inputs
-    for _ in range(cfg.rounds + 2):  # iterate past the round count to fixpoint
-        V = V + p  # ark add
-        V = sbox(V)
-        V = t * mul(V, p)  # MDS row: t reduced products, un-reduced sum
-        if V >= R:
-            mul(R, R)  # raise with the standard message
+    try:
+        V = p  # canonical inputs
+        for _ in range(cfg.rounds + 2):  # iterate past the round count to fixpoint
+            V = V + p  # ark add
+            V = sbox(V)
+            V = t * mul(V, p)  # MDS row: t reduced products, un-reduced sum
+            if V >= R:
+                raise _Overflow
+    except _Overflow:
+        return False
+    return True
 
 
 def _round(cfg, ark_r, mds, state, full: bool):
@@ -91,19 +98,41 @@ def _round(cfg, ark_r, mds, state, full: bool):
     return mont.normalize(jnp.sum(prod, axis=1), passes=2)
 
 
+def _round_fold(cfg, ark_r, mds, state, full: bool):
+    """Value-safe variant of ``_round``: every step rho-folds, so values stay
+    < R exactly for ANY (field, t, alpha) — used when ``check_value_bounds``
+    detects that the fast discipline's round fixpoint would reach R (e.g.
+    alpha = 3 over a 31-bit field at t = 16, where one squaring per S-box
+    contracts too little).  Invariant: state enters and leaves each round
+    with limbs <= 2^12 and value < R."""
+    fs = cfg.field
+    # Lazy ARK add (limbs <= 2*LIMB_MASK, value < R + p), then one fold.
+    state = mont.fold_norm(fs, state + ark_r, vmax=fs.r + fs.modulus)
+    if full:
+        state = mont.mont_pow_fold(fs, state, cfg.alpha)
+    else:
+        s0 = mont.mont_pow_fold(fs, state[0], cfg.alpha)
+        state = jnp.concatenate([s0[None], state[1:]], axis=0)
+    prod = mont.mont_mul_fold(fs, mds, state[None])     # values < R, limbs <= 2^12
+    return mont.fold_norm(
+        fs, jnp.sum(prod, axis=1), deferred_limb_bound=cfg.t * mont.LIMB_MASK
+    )
+
+
 def permute(cfg: PoseidonConfig, state: jnp.ndarray) -> jnp.ndarray:
     """Full Poseidon permutation on a (t, L, B) Montgomery limb-plane state batch."""
-    check_value_bounds(cfg)  # lru-cached; raises for unsafe (field, t) combos
+    # lru-cached static simulation: fast discipline vs value-safe folding round
+    round_fn = _round if check_value_bounds(cfg) else _round_fold
     consts = device_constants(cfg)
     ark = jnp.asarray(consts["ark"])  # (R, t, L, 1)
     mds = jnp.asarray(consts["mds"])  # (t, t, L, 1)
     half_full = cfg.full_rounds // 2
 
     def full_body(r, st):
-        return _round(cfg, ark[r], mds, st, full=True)
+        return round_fn(cfg, ark[r], mds, st, full=True)
 
     def partial_body(r, st):
-        return _round(cfg, ark[r], mds, st, full=False)
+        return round_fn(cfg, ark[r], mds, st, full=False)
 
     # Three phases, each a fori_loop with the round constants gathered by round
     # index — keeps the traced graph to two round bodies regardless of R_F/R_P.
