@@ -1,0 +1,90 @@
+"""Monolith on-TPU parity + throughput probe (Goldilocks / Mersenne31 / KoalaBear).
+
+Monolith does 6 rounds of bitwise Bars + squaring-only Bricks + an MDS
+Concrete that is multiplication-free for Goldilocks (power-of-two circulant,
+static limb shifts) and a batched Cauchy product for the 31-bit fields.
+Parity-gated against the scalar oracle before timing: the probe refuses to
+print a number on mismatch.
+
+Run: python bench/monolith_probe.py
+"""
+
+from __future__ import annotations
+
+import json
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    jax.config.update("jax_compilation_cache_dir", "/tmp/sponge_tpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from sponge_tpu import (
+        GOLDILOCKS_FR,
+        KOALABEAR_FR,
+        MERSENNE31_FR,
+        OracleMonolithSponge,
+        get_default_monolith_parameters,
+    )
+    from sponge_tpu.monolith.permutation import monolith_permute_jit
+
+    lanes = 256
+    rng = np.random.default_rng(1025)
+    for fs in (GOLDILOCKS_FR, MERSENNE31_FR, KOALABEAR_FR):
+        cfg = get_default_monolith_parameters(fs)
+        t = cfg.t
+        # The XLA tier materializes (t, t, 2L, B) Montgomery-product
+        # temporaries on the dense-Concrete path; cap B so they fit HBM.
+        B = 1 << (18 if cfg.pow2_circulant_exponents() is not None else 16)
+        vals = [
+            [int(v) % fs.modulus for v in rng.integers(0, 1 << 62, size=lanes)]
+            for _ in range(t)
+        ]
+        st = np.zeros((t, fs.nlimbs, B), dtype=np.int32)
+        st[:, :, :lanes] = np.stack(
+            [fs.ints_to_mont_plane(r) for r in vals], axis=0
+        )
+        fn = monolith_permute_jit(cfg)
+        out = fn(jnp.asarray(st))
+        on = np.asarray(out[:, :, :lanes])
+        for b in range(0, lanes, 51):
+            o = OracleMonolithSponge(cfg)
+            o.state = [vals[i][b] for i in range(t)]
+            o.permute()
+            got = [fs.mont_limbs_to_int(on[i][:, b]) for i in range(t)]
+            if got != o.state:
+                raise RuntimeError(f"{fs.name} PARITY FAILURE at lane {b}")
+            raw = [fs.limbs_to_int(on[i][:, b]) for i in range(t)]
+            if any(v >= 2 * fs.modulus for v in raw):
+                raise RuntimeError(f"{fs.name} output invariant (< 2p) violated")
+        cur = out
+        t0 = time.perf_counter()
+        for _ in range(20):
+            cur = fn(cur)
+        _ = np.asarray(cur[0, 0, :8])
+        pps = 20 * B / (time.perf_counter() - t0)
+        rate_bytes = cfg.rate * fs.num_canonical_bytes
+        print(
+            json.dumps(
+                {
+                    "metric": f"{fs.name}_monolith_perms_per_sec",
+                    "value": int(pps),
+                    "unit": "perms/s",
+                    "bytes_per_sec": int(pps * rate_bytes),
+                    "parity": "ok",
+                }
+            )
+        )
+
+
+if __name__ == "__main__":
+    main()

@@ -72,6 +72,12 @@ from .rescue import (
     generate_rescue_parameters,
     get_default_rescue_parameters,
 )
+from .monolith import (
+    MonolithConfig,
+    OracleMonolithSponge,
+    generate_monolith_parameters,
+    get_default_monolith_parameters,
+)
 from .lazy import LazyPoseidonSponge
 from .poseidon.host import (
     HostPoseidon2Sponge,
@@ -117,6 +123,10 @@ __all__ = [
     "OracleRescueSponge",
     "generate_rescue_parameters",
     "get_default_rescue_parameters",
+    "MonolithConfig",
+    "OracleMonolithSponge",
+    "generate_monolith_parameters",
+    "get_default_monolith_parameters",
     "host_available",
     "host_run_schedule",
     "Batched",

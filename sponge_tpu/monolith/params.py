@@ -1,0 +1,126 @@
+"""Deterministic Monolith parameter generation.
+
+Structure follows ePrint 2023/1025: R = 6 rounds, Bars on the leading u
+elements (u = 4 for the 64-bit instance, u = 8 for 31-bit ones), Bricks,
+and an MDS Concrete layer, with round constants added after Concrete in all
+but the last round.
+
+Concrete matrices:
+
+* Goldilocks t = 12 uses a power-of-two circulant
+  (circ(1, 1, 2, 1, 8, 32, 2, 256, 4096, 8, 65536, 1024) — the plonky2-
+  family t = 12 matrix shape), verified MDS by exhaustive minor check in
+  ``tools/check_mds.py`` — this makes Concrete multiplication-free on limb
+  planes (static shifts + adds).
+* 31-bit fields (Mersenne31, KoalaBear) use the Cauchy construction
+  ``mds[i][j] = (x_i + y_j)^{-1}`` (provably MDS for distinct draws), drawn
+  from the same Grain stream as the round constants.
+
+Round constants are drawn from the Grain LFSR construction the original
+Poseidon parameters use (/root/reference/src/poseidon/grain_lfsr.rs, reused
+via ``poseidon.params.PoseidonGrainLFSR``), seeded with
+(sbox_inverse=False, prime_bits, t, R_F=rounds, R_P=bars) — rounds-1 rows of
+t rejection-sampled elements (the last row is structurally zero), then the
+Cauchy draws where applicable.
+
+NOTE: the reference crate has no Monolith, and no official
+cross-implementation vectors are reachable in this offline environment, so
+these defaults are a *self-consistent deterministic instance* of the
+Monolith structure (same convention as the Poseidon2 / Rescue-Prime
+families here) — the scalar oracle (``monolith.oracle``) is the ground truth
+the device tiers are tested against.  Deployments matching a published
+instance should construct ``MonolithConfig`` directly from those constants;
+every downstream component is constant-agnostic.
+"""
+
+from __future__ import annotations
+
+import functools
+
+from ..fields import FieldSpec
+from ..poseidon.params import PoseidonGrainLFSR
+from .config import MonolithConfig
+
+# Power-of-two circulant first row for the 64-bit t=12 instance; MDS over
+# Goldilocks verified exhaustively by tools/check_mds.py (2.7M unique minors).
+_GOLDILOCKS_T12_ROW = (1, 1, 2, 1, 8, 32, 2, 256, 4096, 8, 65536, 1024)
+
+
+def _circulant(row: tuple) -> tuple:
+    t = len(row)
+    return tuple(tuple(row[(j - i) % t] for j in range(t)) for i in range(t))
+
+
+def _cauchy_mds(lfsr: PoseidonGrainLFSR, fs: FieldSpec, t: int) -> tuple:
+    """Provably-MDS Cauchy matrix from the Grain stream: redraw until the
+    x_i are pairwise distinct, the y_j are pairwise distinct, and every
+    x_i + y_j is nonzero (the three Cauchy-MDS preconditions)."""
+    p = fs.modulus
+    while True:
+        xs = lfsr.get_field_elements_mod_p(fs, t)
+        ys = lfsr.get_field_elements_mod_p(fs, t)
+        if len(set(xs)) != t or len(set(ys)) != t:
+            continue
+        if any((x + y) % p == 0 for x in xs for y in ys):
+            continue
+        return tuple(tuple(pow((x + y) % p, -1, p) for y in ys) for x in xs)
+
+
+def generate_monolith_parameters(
+    fs: FieldSpec,
+    rate: int,
+    capacity: int,
+    rounds: int = 6,
+    bars: int | None = None,
+    concrete: tuple | None = None,
+) -> MonolithConfig:
+    """Deterministic Monolith parameters for a bar-safe field."""
+    t = rate + capacity
+    if bars is None:
+        bars = 4 if fs.modulus_bit_size > 32 else 8
+    lfsr = PoseidonGrainLFSR(False, fs.modulus_bit_size, t, rounds, bars)
+    rc = tuple(
+        tuple(lfsr.get_field_elements_rejection_sampling(fs, t))
+        for _ in range(rounds - 1)
+    ) + ((0,) * t,)
+    if concrete is None:
+        if fs.name == "goldilocks_fr" and t == 12:
+            concrete = _circulant(_GOLDILOCKS_T12_ROW)
+        else:
+            concrete = _cauchy_mds(lfsr, fs, t)
+    return MonolithConfig(
+        field=fs,
+        rounds=rounds,
+        bars=bars,
+        rc=rc,
+        concrete=concrete,
+        rate=rate,
+        capacity=capacity,
+    )
+
+
+# (rate, capacity, rounds, bars) — paper geometries: Monolith-64 t=12 / u=4,
+# Monolith-31 t=16 / u=8.  KoalaBear is bar-safe (m = 24 is a chunk
+# boundary), so the 31-bit geometry extends to it.
+_DEFAULTS = {
+    "goldilocks_fr": (8, 4, 6, 4),
+    "mersenne31_fr": (8, 8, 6, 8),
+    "koalabear_fr": (8, 8, 6, 8),
+}
+
+
+@functools.lru_cache(maxsize=None)
+def get_default_monolith_parameters(fs: FieldSpec, rate: int = 8) -> MonolithConfig:
+    """Default Monolith parameters (rate-8 sponge geometries only: Monolith
+    is specified for small fields, where capacity must span multiple
+    elements for 128-bit sponge security)."""
+    if fs.name not in _DEFAULTS:
+        raise ValueError(
+            f"no default Monolith parameters for {fs.name}: the Bars layer "
+            f"requires p = 2^n - 2^m + 1 with chunk-aligned m "
+            f"(Goldilocks, Mersenne31, KoalaBear)"
+        )
+    rate_, capacity, rounds, bars = _DEFAULTS[fs.name]
+    if rate != rate_:
+        raise ValueError(f"no default Monolith parameters for rate={rate}")
+    return generate_monolith_parameters(fs, rate, capacity, rounds, bars)

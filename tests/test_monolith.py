@@ -1,0 +1,233 @@
+"""Monolith family (ePrint 2023/1025 structure): Bars/Bricks/Concrete over
+the bar-safe fields (Goldilocks, Mersenne31, KoalaBear), behind the shared
+duplex machinery.  The scalar oracle is the ground truth; golden vectors
+below freeze the self-consistent default instances."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from sponge_tpu import (
+    BABYBEAR_FR,
+    GOLDILOCKS_FR as GL,
+    KOALABEAR_FR as KB,
+    MERSENNE31_FR as M31,
+)
+from sponge_tpu.fields import FieldSpec
+from sponge_tpu.monolith import (
+    MonolithConfig,
+    OracleMonolithSponge,
+    bar_chunks,
+    bar_int,
+    chunk_sbox,
+    generate_monolith_parameters,
+    get_default_monolith_parameters,
+    monolith_permute_jit,
+)
+from sponge_tpu.monolith.config import check_bar_field
+
+CFG_GL = get_default_monolith_parameters(GL)
+CFG_M31 = get_default_monolith_parameters(M31)
+CFG_KB = get_default_monolith_parameters(KB)
+
+
+def rand_elems(fs, n, seed=5):
+    rng = np.random.default_rng(seed)
+    return [int(v) % fs.modulus for v in rng.integers(0, 1 << 62, size=n)]
+
+
+# ---------------------------------------------------------------------------
+# Bars: S-box and range-preservation properties.
+# ---------------------------------------------------------------------------
+
+
+def test_chunk_sbox_bijective_with_fixed_points():
+    for k in (4, 5, 7, 8):
+        table = [chunk_sbox(y, k) for y in range(1 << k)]
+        assert len(set(table)) == 1 << k, k
+        assert table[0] == 0 and table[-1] == (1 << k) - 1, k
+
+
+def test_bar_chunks_geometry():
+    assert bar_chunks(GL) == (8,) * 8
+    assert bar_chunks(M31) == (8, 8, 8, 7)
+    assert bar_chunks(KB) == (8, 8, 8, 7)
+
+
+def test_bar_safety_gate():
+    for fs in (GL, M31, KB):
+        check_bar_field(fs)
+    # BabyBear = 2^31 - 2^27 + 1: m = 27 is not a chunk boundary.
+    with pytest.raises(ValueError, match="bar"):
+        check_bar_field(BABYBEAR_FR)
+
+
+def test_bar_range_preserving_exhaustive_tiny_field():
+    """p = 2^13 - 1 (chunks 8, 5): bar maps [0, p) onto [0, p), exhaustively."""
+    fs = FieldSpec(name="tiny_m13", modulus=(1 << 13) - 1, generator=17)
+    check_bar_field(fs)
+    imgs = {bar_int(fs, x) for x in range(fs.modulus)}
+    assert imgs == set(range(fs.modulus))
+
+
+def test_bar_edge_values():
+    for fs in (GL, M31, KB):
+        assert bar_int(fs, 0) == 0
+        assert 0 <= bar_int(fs, fs.modulus - 1) < fs.modulus
+        # Goldilocks: 2^64 - 2^32 (top 32 bits ones, low 32 zero) is the
+        # boundary canonical value; its bar must stay canonical.
+        x = fs.modulus - 1
+        assert 0 <= bar_int(fs, bar_int(fs, x)) < fs.modulus
+
+
+# ---------------------------------------------------------------------------
+# Config validation + default geometries.
+# ---------------------------------------------------------------------------
+
+
+def test_default_geometries():
+    assert (CFG_GL.t, CFG_GL.bars, CFG_GL.rounds) == (12, 4, 6)
+    assert (CFG_M31.t, CFG_M31.bars, CFG_M31.rounds) == (16, 8, 6)
+    assert (CFG_KB.t, CFG_KB.bars, CFG_KB.rounds) == (16, 8, 6)
+    assert CFG_GL.pow2_circulant_exponents() is not None  # shift path
+    assert CFG_M31.pow2_circulant_exponents() is None  # Cauchy path
+    with pytest.raises(ValueError, match="no default"):
+        get_default_monolith_parameters(GL, rate=2)
+
+
+def test_config_validation():
+    with pytest.raises(ValueError, match="last rc row"):
+        MonolithConfig(
+            field=M31,
+            rounds=2,
+            bars=2,
+            rc=((1,) * 4, (1,) * 4),
+            concrete=((1,) * 4,) * 4,
+            rate=2,
+            capacity=2,
+        )
+    with pytest.raises(ValueError, match="bar"):
+        generate_monolith_parameters(BABYBEAR_FR, 8, 8)
+
+
+def test_cauchy_concrete_is_cauchy_mds_shaped():
+    """The 31-bit Concrete entries are (x_i + y_j)^{-1}: verify the matrix is
+    invertible and has no zero entries (Cauchy preconditions held)."""
+    p = M31.modulus
+    mat = [list(row) for row in CFG_M31.concrete]
+    assert all(v % p != 0 for row in mat for v in row)
+    from sponge_tpu.poseidon2.params import _det_mod_p
+
+    assert _det_mod_p(mat, p) != 0
+
+
+# ---------------------------------------------------------------------------
+# Frozen golden vectors (pin the self-consistent default instances).
+# ---------------------------------------------------------------------------
+
+
+def test_oracle_golden_regression():
+    expect = {
+        "goldilocks_fr": [
+            5256865702680375205,
+            16889867171626752680,
+            17825305887195455664,
+        ],
+        "mersenne31_fr": [1291834271, 1182406799, 2095350037],
+        "koalabear_fr": [336008042, 2000242141, 1292631617],
+    }
+    for cfg in (CFG_GL, CFG_M31, CFG_KB):
+        s = OracleMonolithSponge(cfg)
+        s.absorb_field_elements(list(range(8)))
+        assert s.squeeze_native_field_elements(3) == expect[cfg.field.name]
+
+
+# ---------------------------------------------------------------------------
+# Device tier vs oracle (both Concrete paths) + duplex sponge integration.
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("cfg", [CFG_GL, CFG_M31, CFG_KB], ids=lambda c: c.field.name)
+def test_xla_tier_vs_oracle(cfg):
+    fs = cfg.field
+    B = 4
+    vals = [rand_elems(fs, B, seed=11 + i) for i in range(cfg.t)]
+    # adversarial lanes: 0, 1, p-1 in the barred region
+    vals[0][0] = 0
+    vals[1][0] = 1
+    vals[2][0] = fs.modulus - 1
+    state = jnp.asarray(np.stack([fs.ints_to_mont_plane(r) for r in vals], axis=0))
+    out = np.asarray(monolith_permute_jit(cfg)(state))
+    for b in range(B):
+        o = OracleMonolithSponge(cfg)
+        o.state = [vals[i][b] for i in range(cfg.t)]
+        o.permute()
+        got = [fs.mont_plane_to_ints(out[i][:, b : b + 1])[0] for i in range(cfg.t)]
+        assert got == o.state, b
+
+
+def test_sponge_device_vs_oracle():
+    """Full duplex sponge over Monolith on the batched device path, with a
+    mode flip and a multi-chunk squeeze."""
+    from sponge_tpu import Batched
+    from sponge_tpu.absorb import Fp
+    from sponge_tpu.sponge import PoseidonSponge
+
+    cfg = CFG_M31
+    fs = cfg.field
+    B = 3
+    lanes = [rand_elems(fs, 10, seed=60 + b) for b in range(B)]
+    dev = PoseidonSponge(cfg, batch_size=B)
+    dev.absorb(Batched([[Fp(v, fs) for v in vals] for vals in lanes]))
+    got = dev.squeeze_native_field_elements(11)
+    dev.absorb(Batched([[Fp(9, fs)]] * B))
+    got2 = dev.squeeze_bytes(7)
+    for b in range(B):
+        o = OracleMonolithSponge(cfg)
+        o.absorb_field_elements(lanes[b])
+        assert got[b] == o.squeeze_native_field_elements(11), b
+        o.absorb_field_elements([9])
+        assert got2[b] == o.squeeze_bytes(7), b
+
+
+def test_hash_over_monolith():
+    """The config-agnostic batched hash layer runs over the Monolith hook."""
+    from sponge_tpu.hash import hash_elements
+
+    cfg = CFG_KB
+    fs = cfg.field
+    B, k = 4, 5
+    msgs = [rand_elems(fs, k, seed=77 + b) for b in range(B)]
+    elems = jnp.asarray(
+        np.stack(
+            [fs.ints_to_mont_plane([msgs[b][i] for b in range(B)]) for i in range(k)],
+            axis=0,
+        )
+    )
+    digests = np.asarray(hash_elements(cfg, elems, num_outputs=2))
+    for b in range(B):
+        o = OracleMonolithSponge(cfg)
+        o.absorb_field_elements(msgs[b])
+        want = o.squeeze_native_field_elements(2)
+        got = [fs.mont_plane_to_ints(digests[i][:, b : b + 1])[0] for i in range(2)]
+        assert got == want, b
+
+
+def test_tiny_field_structural():
+    """2-limb bar-safe field (p = 2^13 - 1, chunks 8+5): the whole stack —
+    params, oracle, device tier — at a geometry no shipped default uses."""
+    fs = FieldSpec(name="tiny_m13", modulus=(1 << 13) - 1, generator=17)
+    cfg = generate_monolith_parameters(fs, rate=2, capacity=2, rounds=6, bars=2)
+    B = 8
+    vals = [rand_elems(fs, B, seed=3 + i) for i in range(cfg.t)]
+    state = jnp.asarray(np.stack([fs.ints_to_mont_plane(r) for r in vals], axis=0))
+    out = np.asarray(monolith_permute_jit(cfg)(state))
+    for b in range(B):
+        o = OracleMonolithSponge(cfg)
+        o.state = [vals[i][b] for i in range(cfg.t)]
+        o.permute()
+        got = [fs.mont_plane_to_ints(out[i][:, b : b + 1])[0] for i in range(cfg.t)]
+        assert got == o.state, b
