@@ -1,4 +1,4 @@
-"""Monolith on-TPU parity + throughput probe (Goldilocks / Mersenne31 / KoalaBear).
+"""Monolith on-TPU parity + throughput probe (fused Pallas kernel).
 
 Monolith does 6 rounds of bitwise Bars + squaring-only Bricks + an MDS
 Concrete that is multiplication-free for Goldilocks (power-of-two circulant,
@@ -35,16 +35,14 @@ def main():
         OracleMonolithSponge,
         get_default_monolith_parameters,
     )
-    from sponge_tpu.monolith.permutation import monolith_permute_jit
+    from sponge_tpu.ops.pallas_monolith import monolith_kernel_fn
 
     lanes = 256
     rng = np.random.default_rng(1025)
+    B = 1 << 20
     for fs in (GOLDILOCKS_FR, MERSENNE31_FR, KOALABEAR_FR):
         cfg = get_default_monolith_parameters(fs)
         t = cfg.t
-        # The XLA tier materializes (t, t, 2L, B) Montgomery-product
-        # temporaries on the dense-Concrete path; cap B so they fit HBM.
-        B = 1 << (18 if cfg.pow2_circulant_exponents() is not None else 16)
         vals = [
             [int(v) % fs.modulus for v in rng.integers(0, 1 << 62, size=lanes)]
             for _ in range(t)
@@ -53,7 +51,7 @@ def main():
         st[:, :, :lanes] = np.stack(
             [fs.ints_to_mont_plane(r) for r in vals], axis=0
         )
-        fn = monolith_permute_jit(cfg)
+        fn = monolith_kernel_fn(cfg)
         out = fn(jnp.asarray(st))
         on = np.asarray(out[:, :, :lanes])
         for b in range(0, lanes, 51):

@@ -237,11 +237,30 @@ def monolith_permute_jit(cfg: MonolithConfig):
 
 def batched_monolith_permute(cfg: MonolithConfig, state, backend: str = "auto"):
     """Backend dispatch hook (shared duplex sponge calls through
-    ``poseidon.permutation.batched_permute``).  Monolith currently ships one
-    device tier — the XLA tier above (its hot ops are bitwise VPU work and
-    batched Montgomery squarings, which XLA already fuses well); "cios" /
-    "pallas" are accepted as aliases so configs drop into call sites that
-    pin a kernel backend (hash.py / transcript.py thread it verbatim)."""
+    ``poseidon.permutation.batched_permute``).  On TPU with a tile-aligned
+    batch the fused Pallas kernel runs (state resident in VMEM for all 6
+    rounds, in-register Bars — ``ops.pallas_monolith``); the XLA tier above
+    is the bound-transparent semantic reference and the fallback for
+    value-unsound or non-aligned shapes.  "cios"/"pallas" pin the fused
+    kernel (the alias other call sites thread verbatim)."""
+    from ..ops.pallas_monolith import (
+        TILE_LANES,
+        check_kernel_bounds,
+        monolith_kernel_fn,
+    )
+
+    B = state.shape[-1]
+    on_tpu = jax.default_backend() == "tpu"
+    if backend in ("cios", "pallas") or (
+        backend == "auto" and on_tpu and B % TILE_LANES == 0
+    ):
+        try:
+            check_kernel_bounds(cfg)
+        except ValueError:
+            if backend != "auto":
+                raise
+        else:
+            return monolith_kernel_fn(cfg)(state)
     if backend not in ("auto", "xla", "cios", "pallas"):
         raise ValueError(f"unknown backend {backend!r}")
     return monolith_permute_jit(cfg)(state)

@@ -231,3 +231,81 @@ def test_tiny_field_structural():
         o.permute()
         got = [fs.mont_plane_to_ints(out[i][:, b : b + 1])[0] for i in range(cfg.t)]
         assert got == o.state, b
+
+
+# ---------------------------------------------------------------------------
+# Fused Pallas kernel body (CPU: exact kernel function via mock refs — covers
+# all kernel plumbing except Mosaic lowering; the TPU probe's parity gate
+# covers that).
+# ---------------------------------------------------------------------------
+
+
+def _run_monolith_kernel_body(cfg, B=256, stride=83, lane_streams=2):
+    import jax
+
+    from sponge_tpu.ops import pallas_monolith as pm
+
+    class FakeRef:
+        def __init__(self, arr):
+            self.arr = jnp.asarray(arr)
+
+        def __getitem__(self, idx):
+            return self.arr[idx]
+
+        def __setitem__(self, idx, value):
+            self.arr = self.arr.at[idx].set(value)
+
+    fs = cfg.field
+    L, t = fs.nlimbs, cfg.t
+    vals = [rand_elems(fs, B, seed=7 + i) for i in range(t)]
+    vals[0][0] = 0
+    vals[1][1] = fs.modulus - 1
+    st4 = jnp.asarray(
+        np.stack([fs.ints_to_mont_plane(r) for r in vals], axis=0)
+    ).reshape(t, L, B // 128, 128)
+    rc_np = np.stack(
+        [np.concatenate([fs.int_to_mont_limbs(c) for c in row]) for row in cfg.rc]
+    ).astype(np.int32)
+
+    @jax.jit
+    def run(rc, st):
+        out_ref = FakeRef(jnp.zeros_like(st))
+        pm._monolith_kernel(
+            FakeRef(rc), FakeRef(st), out_ref, cfg=cfg, lane_streams=lane_streams
+        )
+        return out_ref.arr
+
+    out = np.asarray(run(rc_np, st4)).reshape(t, L, B)
+    for b in range(0, B, stride):
+        o = OracleMonolithSponge(cfg)
+        o.state = [vals[i][b] for i in range(t)]
+        o.permute()
+        got = [fs.mont_limbs_to_int(out[i][:, b]) for i in range(t)]
+        assert got == o.state, b
+        raw = [fs.limbs_to_int(out[i][:, b]) for i in range(t)]
+        assert all(v < 2 * fs.modulus for v in raw), "output < 2p invariant"
+
+
+@pytest.mark.parametrize("cfg", [CFG_GL, CFG_M31, CFG_KB], ids=lambda c: c.field.name)
+def test_kernel_body_vs_oracle(cfg):
+    """Both Concrete paths (pow2 shifts on Goldilocks, Cauchy lazy-REDC on
+    the 31-bit fields), 2 lane streams, adversarial lanes."""
+    _run_monolith_kernel_body(cfg)
+
+
+def test_kernel_body_single_stream_and_bounds():
+    from sponge_tpu.ops.pallas_monolith import check_kernel_bounds
+
+    _run_monolith_kernel_body(CFG_GL, lane_streams=1)
+    # Goldilocks pow2 path needs rho-folds (value bounds reach R); the
+    # 31-bit dense paths stay < R everywhere (0 folds).
+    assert check_kernel_bounds(CFG_GL)["folds"]["conc"] >= 1
+    assert check_kernel_bounds(CFG_M31)["folds"] == {
+        "rc": 0, "sq": 0, "add": 0, "conc": 0,
+    }
+
+
+def test_kernel_body_tiny_field():
+    fs = FieldSpec(name="tiny_m13", modulus=(1 << 13) - 1, generator=17)
+    cfg = generate_monolith_parameters(fs, rate=2, capacity=2, rounds=6, bars=2)
+    _run_monolith_kernel_body(cfg, lane_streams=1, stride=29)
