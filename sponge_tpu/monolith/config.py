@@ -157,7 +157,7 @@ class MonolithConfig:
 
     def pow2_circulant_exponents(self) -> tuple | None:
         """(t, t) exponent tuple when ``concrete`` is a circulant of powers
-        of two (the multiplication-free device path); None otherwise."""
+        of two (a special case of the scaled device path); None otherwise."""
         t = self.t
         first = self.concrete[0]
         for i in range(t):
@@ -170,6 +170,16 @@ class MonolithConfig:
                 return None
             exps.append(v.bit_length() - 1)
         return tuple(tuple(exps[(j - i) % t] for j in range(t)) for i in range(t))
+
+    def concrete_small_entries(self) -> tuple | None:
+        """The (t, t) matrix itself when every entry is small enough for the
+        multiplication-free scaled device path (each entry decomposes into at
+        most two <=12-bit limb digits, i.e. < 2^24); None otherwise (dense
+        Montgomery path).  Both the power-of-two circulants and the verified
+        small-integer circulants qualify."""
+        if all(0 < v < (1 << 24) for row in self.concrete for v in row):
+            return self.concrete
+        return None
 
     def batched_permute(self, state, backend: str = "auto"):
         """Permutation dispatch hook used by the shared duplex sponge

@@ -5,16 +5,26 @@ elements (u = 4 for the 64-bit instance, u = 8 for 31-bit ones), Bricks,
 and an MDS Concrete layer, with round constants added after Concrete in all
 but the last round.
 
-Concrete matrices:
+Concrete matrices (all three defaults take the multiplication-free scaled
+device path — small plain-integer entries, no REDC in the linear layer):
 
 * Goldilocks t = 12 uses a power-of-two circulant
   (circ(1, 1, 2, 1, 8, 32, 2, 256, 4096, 8, 65536, 1024) — the plonky2-
   family t = 12 matrix shape), verified MDS by exhaustive minor check in
-  ``tools/check_mds.py`` — this makes Concrete multiplication-free on limb
-  planes (static shifts + adds).
-* 31-bit fields (Mersenne31, KoalaBear) use the Cauchy construction
-  ``mds[i][j] = (x_i + y_j)^{-1}`` (provably MDS for distinct draws), drawn
-  from the same Grain stream as the round constants.
+  ``tools/check_mds.py`` (225K rotation-unique minors).
+* 31-bit fields (Mersenne31, KoalaBear) use a small-integer circulant
+  (entries <= 31) found by the deterministic search in
+  ``tools/check_mds.cc`` (xorshift64 seed 20230825, candidate 11) and
+  verified MDS over BOTH fields by the same exhaustive minor check
+  (37.6M rotation-unique minors each).  Power-of-two circulants were ruled
+  out over Mersenne31: ord(2) = 31 there, so 2x2 circulant minors
+  2^(e_a+e_b) - 2^(e_c+e_d) vanish whenever exponent sums collide mod 31 —
+  every random draw failed; small-integer products < p collide only as
+  integers, which the search avoids within a dozen candidates.
+
+Non-default fields fall back to the Cauchy construction
+``mds[i][j] = (x_i + y_j)^{-1}`` (provably MDS for distinct draws), drawn
+from the same Grain stream as the round constants.
 
 Round constants are drawn from the Grain LFSR construction the original
 Poseidon parameters use (/root/reference/src/poseidon/grain_lfsr.rs, reused
@@ -42,8 +52,13 @@ from ..poseidon.params import PoseidonGrainLFSR
 from .config import MonolithConfig
 
 # Power-of-two circulant first row for the 64-bit t=12 instance; MDS over
-# Goldilocks verified exhaustively by tools/check_mds.py (2.7M unique minors).
+# Goldilocks verified exhaustively by tools/check_mds.py (225K unique minors).
 _GOLDILOCKS_T12_ROW = (1, 1, 2, 1, 8, 32, 2, 256, 4096, 8, 65536, 1024)
+
+# Small-integer circulant first row for the 31-bit t=16 instances; MDS over
+# both Mersenne31 and KoalaBear verified exhaustively by tools/check_mds.cc
+# (37.6M rotation-unique minors each; deterministic search seed 20230825).
+_M31_T16_ROW = (31, 19, 21, 11, 5, 7, 9, 26, 9, 16, 23, 13, 30, 30, 17, 5)
 
 
 def _circulant(row: tuple) -> tuple:
@@ -86,6 +101,8 @@ def generate_monolith_parameters(
     if concrete is None:
         if fs.name == "goldilocks_fr" and t == 12:
             concrete = _circulant(_GOLDILOCKS_T12_ROW)
+        elif fs.name in ("mersenne31_fr", "koalabear_fr") and t == 16:
+            concrete = _circulant(_M31_T16_ROW)
         else:
             concrete = _cauchy_mds(lfsr, fs, t)
     return MonolithConfig(

@@ -42,6 +42,53 @@ from .config import MonolithConfig, bar_chunks
 
 
 @functools.lru_cache(maxsize=None)
+def scaled_concrete_geometry(cfg: MonolithConfig):
+    """Static geometry of the multiplication-free scaled-Concrete path, or
+    None when the matrix must take the dense Montgomery path.
+
+    The path applies when every matrix entry is a small plain integer
+    (< 2^24): each entry decomposes into at most two 12-bit limb digits
+    ``c = sum_d m_d * 2^(12 q_d)``, so a term is just ``x * m_d`` placed at
+    limb offset ``q_d`` — no REDC anywhere in the linear layer.  Terms
+    accumulate in a widened (L + E)-limb plane; the high limbs fold back
+    through rho = R mod p.  Geometry checks:
+
+    * widened plane holds the worst value: row_sum * R < 2^(12 (L+E));
+    * int32 column budget: <= 2t digit-products of < 2^24 per column;
+    * the hi * rho fold's schoolbook columns stay inside L limbs.
+    """
+    mat = cfg.concrete_small_entries()
+    if mat is None:
+        return None
+    fs = cfg.field
+    L = fs.nlimbs
+    t = cfg.t
+    row_sum = max(sum(row) for row in mat)
+    E = 1
+    while row_sum * fs.r >= 1 << (LIMB_BITS * (L + E)):
+        E += 1
+    rho = fs.r % fs.modulus
+    rho_top = (rho.bit_length() - 1) // LIMB_BITS
+    if (E - 1) + rho_top > L - 1:
+        return None  # hi * rho fold would truncate columns
+    if 2 * t * (1 << (2 * LIMB_BITS)) >= 1 << 31:
+        return None  # int32 column budget of the digit accumulation
+    digits = tuple(
+        tuple(
+            tuple(
+                (q, (c >> (LIMB_BITS * q)) & LIMB_MASK)
+                for q in range((c.bit_length() + LIMB_BITS - 1) // LIMB_BITS)
+                if (c >> (LIMB_BITS * q)) & LIMB_MASK
+            )
+            for c in row
+        )
+        for row in mat
+    )
+    hi_max = (row_sum * fs.r) >> (LIMB_BITS * L)
+    return {"digits": digits, "E": E, "hi_max": hi_max, "row_sum": row_sum}
+
+
+@functools.lru_cache(maxsize=None)
 def device_constants_monolith(cfg: MonolithConfig):
     """Round constants / matrix data in device layout (numpy)."""
     fs = cfg.field
@@ -53,10 +100,7 @@ def device_constants_monolith(cfg: MonolithConfig):
         axis=0,
     ).astype(np.int32)[..., None]  # (R, t, L, 1)
     consts = {"rc": rc}
-    exps = cfg.pow2_circulant_exponents()
-    if exps is not None and _pow2_path_bounds_ok(cfg, exps):
-        consts["exps"] = exps  # static python ints
-    else:
+    if scaled_concrete_geometry(cfg) is None:
         consts["concrete"] = np.stack(
             [
                 np.stack([fs.int_to_mont_limbs(v) for v in row], axis=0)
@@ -65,29 +109,6 @@ def device_constants_monolith(cfg: MonolithConfig):
             axis=0,
         ).astype(np.int32)[..., None]  # (t, t, L, 1)
     return consts
-
-
-def _pow2_path_bounds_ok(cfg: MonolithConfig, exps) -> bool:
-    """Static int32/limb-geometry proof obligations of the shift path."""
-    fs = cfg.field
-    L = fs.nlimbs
-    kmax = max(max(row) for row in exps)
-    E = kmax // LIMB_BITS + 1
-    # Tree-summed shifted terms must fit int32: t * 2^12 * 2^(kmax%12+...).
-    if cfg.t * (LIMB_MASK + 1) * (1 << LIMB_BITS) >= 1 << 31:
-        return False
-    # The widened plane must hold the full value: t * 2^kmax * R < 2^(12(L+E)).
-    if cfg.t * (1 << kmax) * fs.r >= 1 << (LIMB_BITS * (L + E)):
-        return False
-    # hi * rho fold must fit the low half without column truncation and < R.
-    rho = fs.r % fs.modulus
-    rho_top = (rho.bit_length() - 1) // LIMB_BITS
-    if (E - 1) + rho_top > L - 1:
-        return False
-    hi_max = (cfg.t * (1 << kmax) * fs.r) >> (LIMB_BITS * L)
-    if hi_max * rho >= fs.r:
-        return False
-    return True
 
 
 # ---------------------------------------------------------------------------
@@ -146,19 +167,20 @@ def _bar_plain(fs, plain: jnp.ndarray) -> jnp.ndarray:
 
 
 # ---------------------------------------------------------------------------
-# Concrete: power-of-two circulant shift path.
+# Concrete: multiplication-free scaled path (small plain-integer matrices).
 # ---------------------------------------------------------------------------
 
 
-def _pow2_concrete(fs, exps, state: jnp.ndarray) -> jnp.ndarray:
-    """Multiplication-free MDS: out_i = sum_j 2^e_ij * x_j on (t, L, B) mont
-    planes (value < R in, value < R out), built in a widened (L + E)-limb
-    plane and rho-folded back exactly.  All bounds pre-proved by
-    ``_pow2_path_bounds_ok``."""
-    t = len(exps)
+def _scaled_concrete(fs, geo, state: jnp.ndarray) -> jnp.ndarray:
+    """Multiplication-free MDS: out_i = sum_j c_ij * x_j on (t, L, B) mont
+    planes (value < R in, value < R out) for small plain-integer matrices —
+    each entry's 12-bit limb digits scale-and-place into a widened
+    (L + E)-limb plane, which rho-folds back exactly.  All bounds pre-proved
+    by ``scaled_concrete_geometry``."""
+    digits = geo["digits"]
+    E = geo["E"]
+    t = len(digits)
     L = fs.nlimbs
-    kmax = max(max(row) for row in exps)
-    E = kmax // LIMB_BITS + 1
     rho = fs.r % fs.modulus
     rho_limbs = tuple(int(v) for v in fs.int_to_limbs(rho))
 
@@ -166,17 +188,16 @@ def _pow2_concrete(fs, exps, state: jnp.ndarray) -> jnp.ndarray:
     for i in range(t):
         terms = []
         for j in range(t):
-            q, s = divmod(exps[i][j], LIMB_BITS)
-            term = state[j] if s == 0 else state[j] << s  # limbs <= 2^23
-            terms.append(mont._pad_limbs(term, q, E - q))
-        rows.append(_tree_sum(terms))  # limbs <= t * 2^23 (int32-proved)
+            for q, m in digits[i][j]:
+                term = state[j] if m == 1 else state[j] * m  # limbs < 2^24
+                terms.append(mont._pad_limbs(term, q, E - q))
+        rows.append(_tree_sum(terms))  # columns <= 2t * 2^24 (int32-proved)
     wide = jnp.stack(rows, axis=0)  # (t, L+E, B)
-    wide, top = mont._exact_pass(wide)  # top carry provably zero (bounds)
+    wide, _top = mont._exact_pass(wide)  # top carry provably zero (bounds)
     lo, hi = wide[..., :L, :], wide[..., L:, :]
     hi_pad = mont._pad_limbs(hi, 0, L - E)  # (t, L, B), nonzero limbs < E
     folded = lo + _school_low(L, hi_pad, rho_limbs)  # value < R + hi_max*rho
-    hi_max = (t * (1 << kmax) * fs.r) >> (LIMB_BITS * L)
-    return mont.fold_norm(fs, folded, vmax=fs.r + hi_max * rho + 1)
+    return mont.fold_norm(fs, folded, vmax=fs.r + geo["hi_max"] * rho + 1)
 
 
 # ---------------------------------------------------------------------------
@@ -194,14 +215,14 @@ def monolith_permute(cfg: MonolithConfig, state: jnp.ndarray) -> jnp.ndarray:
     one_plain = jnp.asarray(fc["one"])  # plain 1: mont_mul(x, 1) = from-mont
     r2 = jnp.asarray(fc["r2"])  # plain R^2 mod p: to-mont factor
     one_mont = jnp.asarray(fs.int_to_limbs(fs.r_mod_p).astype(np.int32))[:, None]
-    exps = consts.get("exps")
-    if exps is None:
+    geo = scaled_concrete_geometry(cfg)
+    if geo is None:
         concrete_m = jnp.asarray(consts["concrete"])  # (t, t, L, 1)
 
     def concrete(st):
         """MDS layer: value < R in, value < R out."""
-        if exps is not None:
-            return _pow2_concrete(fs, exps, st)
+        if geo is not None:
+            return _scaled_concrete(fs, geo, st)
         prod = mont.mont_mul_fold(fs, concrete_m, st[None])  # (t, t, L, B) < R
         return mont.fold_norm(
             fs, jnp.sum(prod, axis=1), deferred_limb_bound=t * LIMB_MASK

@@ -89,12 +89,14 @@ def check_kernel_bounds(cfg: MonolithConfig) -> dict:
     that could still exceed R (or canonicalize preconditions that fail)
     raise ValueError — such configs run the XLA tier instead.  Returns the
     static geometry + fold counts the kernel bakes in."""
+    from ..monolith.permutation import scaled_concrete_geometry
+
     fs = cfg.field
     p, R = fs.modulus, fs.r
     t = cfg.t
     L = fs.nlimbs
     rho = R % p
-    exps = cfg.pow2_circulant_exponents()
+    geo = scaled_concrete_geometry(cfg)
     info: dict = {}
 
     def redc_out(T: int) -> int:
@@ -107,16 +109,6 @@ def check_kernel_bounds(cfg: MonolithConfig) -> dict:
             )
         return out
 
-    if exps is not None:
-        kmax = max(max(row) for row in exps)
-        E = kmax // LIMB_BITS + 1
-        rho_top = (rho.bit_length() - 1) // LIMB_BITS
-        row_sum = max(sum(1 << e for e in row) for row in exps)
-        if (E - 1) + rho_top > L - 1:
-            exps = None  # hi*rho fold would truncate columns
-        elif t * (LIMB_MASK + 1) * (1 << (LIMB_BITS - 1)) >= 1 << 31:
-            exps = None  # int32 column budget of the shift accumulation
-
     # Bar outputs: to-mont REDC of canonical bits by R^2 (both operands < p).
     v_barred = redc_out(p * p)
     v = 4 * p  # sponge-invariant inputs (absorb adds on < 2p outputs)
@@ -124,10 +116,10 @@ def check_kernel_bounds(cfg: MonolithConfig) -> dict:
     v_rc = v
     for _ in range(cfg.rounds + 4):  # iterate past the round count to fixpoint
         # --- concrete (also the opening layer), input bound v ---
-        if exps is not None:
-            total = row_sum * v
-            if total >= 1 << (LIMB_BITS * (L + E)):
-                raise ValueError("pow2 concrete widened plane overflows")
+        if geo is not None:
+            total = geo["row_sum"] * v
+            if total >= 1 << (LIMB_BITS * (L + geo["E"])):
+                raise ValueError("scaled concrete widened plane overflows")
             hi_max = total >> (LIMB_BITS * L)
             f, v_conc = _fold_post(R, rho, R + hi_max * rho)
             folds["conc"] = max(folds["conc"], f)
@@ -151,7 +143,7 @@ def check_kernel_bounds(cfg: MonolithConfig) -> dict:
         folds["add"] = max(folds["add"], f)
         v = max(v_add, v_barred)  # element 0 is barred but not bricks-added
     redc_out(v_rc * p)  # closing REDC by one_mont (< 2p output invariant)
-    info["exps"] = exps
+    info["geo"] = geo
     info["folds"] = folds
     return info
 
@@ -234,24 +226,25 @@ def _const_mul_cols(L, a, b_ints):
     return cols
 
 
-def _pow2_concrete_multi(streams, exps, fs, rho_limbs, folds):
-    """Multiplication-free power-of-two circulant Concrete, per stream:
-    widened (L+E)-limb shift accumulation, exact interleaved carry, hi-limb
+def _scaled_concrete_multi(streams, geo, fs, rho_limbs, folds):
+    """Multiplication-free scaled Concrete (small plain-integer matrices),
+    per stream: each entry's 12-bit limb digits scale-and-place into a
+    widened (L+E)-limb column space, exact interleaved carry, hi-limb
     rho-fold back into L limbs (all bounds pre-proved)."""
-    t = len(exps)
+    digits = geo["digits"]
+    E = geo["E"]
+    t = len(digits)
     L = fs.nlimbs
-    kmax = max(max(row) for row in exps)
-    E = kmax // LIMB_BITS + 1
     all_cols = []
     for xs in streams:
         for i in range(t):
             cols = [None] * (L + E)
             for j in range(t):
-                q, s = divmod(exps[i][j], LIMB_BITS)
-                for l in range(L):
-                    term = xs[j][l] * (1 << s) if s else xs[j][l]
-                    k = q + l
-                    cols[k] = term if cols[k] is None else cols[k] + term
+                for q, m in digits[i][j]:
+                    for l in range(L):
+                        term = xs[j][l] * m if m != 1 else xs[j][l]
+                        k = q + l
+                        cols[k] = term if cols[k] is None else cols[k] + term
             all_cols.append(
                 [c if c is not None else jnp.zeros_like(xs[0][0]) for c in cols]
             )
@@ -289,12 +282,12 @@ def _monolith_kernel(rc_ref, state_ref, out_ref, *, cfg, lane_streams):
     r2_limbs = tuple(int(v) for v in fs.int_to_limbs(fs.r2_mod_p))
     one_mont = tuple(int(v) for v in fs.int_to_limbs(fs.r_mod_p))
     info = check_kernel_bounds(cfg)
-    exps = info["exps"]
+    geo = info["geo"]
     folds = info["folds"]
     sq_norm = functools.partial(
         _fold_norm_multi, rho_limbs=rho_limbs, folds=folds["sq"]
     )
-    if exps is None:
+    if geo is None:
         conc_ints = tuple(
             tuple(tuple(int(v) for v in fs.int_to_mont_limbs(c)) for c in row)
             for row in cfg.concrete
@@ -326,8 +319,8 @@ def _monolith_kernel(rc_ref, state_ref, out_ref, *, cfg, lane_streams):
         )
 
     def concrete(sts):
-        if exps is not None:
-            return _pow2_concrete_multi(sts, exps, fs, rho_limbs, folds["conc"])
+        if geo is not None:
+            return _scaled_concrete_multi(sts, geo, fs, rho_limbs, folds["conc"])
         news = [[None] * t for _ in range(ns)]
         for i in range(t):
             parts = [[] for _ in range(ns)]

@@ -92,8 +92,11 @@ def test_default_geometries():
     assert (CFG_GL.t, CFG_GL.bars, CFG_GL.rounds) == (12, 4, 6)
     assert (CFG_M31.t, CFG_M31.bars, CFG_M31.rounds) == (16, 8, 6)
     assert (CFG_KB.t, CFG_KB.bars, CFG_KB.rounds) == (16, 8, 6)
-    assert CFG_GL.pow2_circulant_exponents() is not None  # shift path
-    assert CFG_M31.pow2_circulant_exponents() is None  # Cauchy path
+    assert CFG_GL.pow2_circulant_exponents() is not None  # pow2 circulant
+    assert CFG_M31.pow2_circulant_exponents() is None  # small-int circulant
+    # all three defaults take the multiplication-free scaled device path
+    for c in (CFG_GL, CFG_M31, CFG_KB):
+        assert c.concrete_small_entries() is not None
     with pytest.raises(ValueError, match="no default"):
         get_default_monolith_parameters(GL, rate=2)
 
@@ -113,15 +116,25 @@ def test_config_validation():
         generate_monolith_parameters(BABYBEAR_FR, 8, 8)
 
 
-def test_cauchy_concrete_is_cauchy_mds_shaped():
-    """The 31-bit Concrete entries are (x_i + y_j)^{-1}: verify the matrix is
-    invertible and has no zero entries (Cauchy preconditions held)."""
-    p = M31.modulus
-    mat = [list(row) for row in CFG_M31.concrete]
-    assert all(v % p != 0 for row in mat for v in row)
+def test_default_concrete_matrices():
+    """Goldilocks: the MDS-verified pow2 circulant; 31-bit fields: the
+    MDS-verified small-integer circulant (tools/check_mds.cc, seed 20230825)
+    — invertible over each field, circulant-shaped, entries <= 31."""
     from sponge_tpu.poseidon2.params import _det_mod_p
 
-    assert _det_mod_p(mat, p) != 0
+    row = (31, 19, 21, 11, 5, 7, 9, 26, 9, 16, 23, 13, 30, 30, 17, 5)
+    for cfg in (CFG_M31, CFG_KB):
+        assert cfg.concrete[0] == row
+        t = cfg.t
+        for i in range(t):
+            for j in range(t):
+                assert cfg.concrete[i][j] == row[(j - i) % t]
+        assert _det_mod_p([list(r) for r in cfg.concrete], cfg.field.modulus) != 0
+
+    # non-default geometry falls back to the provably-MDS Cauchy draw
+    cfg = generate_monolith_parameters(M31, rate=2, capacity=2, rounds=6, bars=2)
+    assert cfg.concrete_small_entries() is None
+    assert _det_mod_p([list(r) for r in cfg.concrete], M31.modulus) != 0
 
 
 # ---------------------------------------------------------------------------
@@ -136,8 +149,8 @@ def test_oracle_golden_regression():
             16889867171626752680,
             17825305887195455664,
         ],
-        "mersenne31_fr": [1291834271, 1182406799, 2095350037],
-        "koalabear_fr": [336008042, 2000242141, 1292631617],
+        "mersenne31_fr": [1207749644, 841790736, 175126303],
+        "koalabear_fr": [935778397, 727696613, 565866719],
     }
     for cfg in (CFG_GL, CFG_M31, CFG_KB):
         s = OracleMonolithSponge(cfg)
@@ -297,10 +310,11 @@ def test_kernel_body_single_stream_and_bounds():
     from sponge_tpu.ops.pallas_monolith import check_kernel_bounds
 
     _run_monolith_kernel_body(CFG_GL, lane_streams=1)
-    # Goldilocks pow2 path needs rho-folds (value bounds reach R); the
-    # 31-bit dense paths stay < R everywhere (0 folds).
+    # The scaled-Concrete paths produce bounds near R, so downstream sites
+    # carry static rho-folds; a Cauchy (dense) config stays < ~8p (0 folds).
     assert check_kernel_bounds(CFG_GL)["folds"]["conc"] >= 1
-    assert check_kernel_bounds(CFG_M31)["folds"] == {
+    dense = generate_monolith_parameters(M31, rate=2, capacity=2, rounds=6, bars=2)
+    assert check_kernel_bounds(dense)["folds"] == {
         "rc": 0, "sq": 0, "add": 0, "conc": 0,
     }
 
@@ -309,3 +323,25 @@ def test_kernel_body_tiny_field():
     fs = FieldSpec(name="tiny_m13", modulus=(1 << 13) - 1, generator=17)
     cfg = generate_monolith_parameters(fs, rate=2, capacity=2, rounds=6, bars=2)
     _run_monolith_kernel_body(cfg, lane_streams=1, stride=29)
+
+
+def test_sharded_monolith_matches_local():
+    """The config-agnostic sharded machinery runs the Monolith hook on an
+    8-device mesh, bit-identical to the local XLA tier."""
+    import jax
+
+    from sponge_tpu.parallel import make_mesh, sharded_permute_fn
+
+    cfg = CFG_KB
+    fs = cfg.field
+    mesh = make_mesh(8)
+    B = 32
+    vals = [rand_elems(fs, B, seed=31 + i) for i in range(cfg.t)]
+    plane = np.stack([fs.ints_to_mont_plane(row) for row in vals], axis=0)
+    state = jax.device_put(
+        jnp.asarray(plane),
+        jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec(None, None, "data")),
+    )
+    out_sharded = np.asarray(sharded_permute_fn(cfg, mesh)(state))
+    out_local = np.asarray(monolith_permute_jit(cfg)(jnp.asarray(plane)))
+    assert np.array_equal(out_sharded, out_local)
