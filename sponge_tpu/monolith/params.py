@@ -60,6 +60,11 @@ _GOLDILOCKS_T12_ROW = (1, 1, 2, 1, 8, 32, 2, 256, 4096, 8, 65536, 1024)
 # (37.6M rotation-unique minors each; deterministic search seed 20230825).
 _M31_T16_ROW = (31, 19, 21, 11, 5, 7, 9, 26, 9, 16, 23, 13, 30, 30, 17, 5)
 
+# Small-integer circulant for the 64-bit t=8 instance (the paper's other
+# Monolith-64 geometry); MDS over Goldilocks verified by tools/check_mds.cc
+# (1619 rotation-unique minors; same deterministic search, seed 20230825).
+_GOLDILOCKS_T8_ROW = (25, 6, 2, 25, 27, 14, 29, 1)
+
 
 def _circulant(row: tuple) -> tuple:
     t = len(row)
@@ -101,6 +106,8 @@ def generate_monolith_parameters(
     if concrete is None:
         if fs.name == "goldilocks_fr" and t == 12:
             concrete = _circulant(_GOLDILOCKS_T12_ROW)
+        elif fs.name == "goldilocks_fr" and t == 8:
+            concrete = _circulant(_GOLDILOCKS_T8_ROW)
         elif fs.name in ("mersenne31_fr", "koalabear_fr") and t == 16:
             concrete = _circulant(_M31_T16_ROW)
         else:
@@ -116,28 +123,28 @@ def generate_monolith_parameters(
     )
 
 
-# (rate, capacity, rounds, bars) — paper geometries: Monolith-64 t=12 / u=4,
-# Monolith-31 t=16 / u=8.  KoalaBear is bar-safe (m = 24 is a chunk
-# boundary), so the 31-bit geometry extends to it.
+# (field, rate) -> (capacity, rounds, bars) — paper geometries: Monolith-64
+# t=12 and t=8 (u=4), Monolith-31 t=16 (u=8).  KoalaBear is bar-safe (m = 24
+# is a chunk boundary), so the 31-bit geometry extends to it.
 _DEFAULTS = {
-    "goldilocks_fr": (8, 4, 6, 4),
-    "mersenne31_fr": (8, 8, 6, 8),
-    "koalabear_fr": (8, 8, 6, 8),
+    ("goldilocks_fr", 8): (4, 6, 4),
+    ("goldilocks_fr", 4): (4, 6, 4),
+    ("mersenne31_fr", 8): (8, 6, 8),
+    ("koalabear_fr", 8): (8, 6, 8),
 }
 
 
 @functools.lru_cache(maxsize=None)
 def get_default_monolith_parameters(fs: FieldSpec, rate: int = 8) -> MonolithConfig:
-    """Default Monolith parameters (rate-8 sponge geometries only: Monolith
-    is specified for small fields, where capacity must span multiple
-    elements for 128-bit sponge security)."""
-    if fs.name not in _DEFAULTS:
+    """Default Monolith parameters (small-field sponge geometries only:
+    Monolith is specified for small fields, where capacity must span
+    multiple elements for 128-bit sponge security)."""
+    key = (fs.name, rate)
+    if key not in _DEFAULTS:
         raise ValueError(
-            f"no default Monolith parameters for {fs.name}: the Bars layer "
-            f"requires p = 2^n - 2^m + 1 with chunk-aligned m "
-            f"(Goldilocks, Mersenne31, KoalaBear)"
+            f"no default Monolith parameters for {fs.name} at rate={rate}: "
+            f"the Bars layer requires p = 2^n - 2^m + 1 with chunk-aligned m "
+            f"(Goldilocks rates 4/8, Mersenne31 rate 8, KoalaBear rate 8)"
         )
-    rate_, capacity, rounds, bars = _DEFAULTS[fs.name]
-    if rate != rate_:
-        raise ValueError(f"no default Monolith parameters for rate={rate}")
+    capacity, rounds, bars = _DEFAULTS[key]
     return generate_monolith_parameters(fs, rate, capacity, rounds, bars)

@@ -16,7 +16,6 @@ The BASELINE.json headline distributed workload: 2-to-1 Poseidon compression ove
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp

@@ -37,7 +37,6 @@ import functools
 from dataclasses import dataclass
 from typing import Tuple
 
-from ..fields import FieldSpec
 from .config import PoseidonConfig
 
 

@@ -20,9 +20,8 @@ Bit-exactness vs the interactive sponge is enforced in tests.
 
 from __future__ import annotations
 
-import functools
 from dataclasses import dataclass
-from typing import List, Sequence, Tuple, Union
+from typing import Sequence, Tuple, Union
 
 import jax
 import jax.numpy as jnp

@@ -345,3 +345,20 @@ def test_sharded_monolith_matches_local():
     out_sharded = np.asarray(sharded_permute_fn(cfg, mesh)(state))
     out_local = np.asarray(monolith_permute_jit(cfg)(jnp.asarray(plane)))
     assert np.array_equal(out_sharded, out_local)
+
+
+def test_goldilocks_t8_paper_geometry():
+    """The paper's second Monolith-64 geometry (t=8, u=4) as a rate-4
+    default, with the MDS-verified t=8 small circulant; kernel body + oracle
+    golden vector pinned."""
+    cfg = get_default_monolith_parameters(GL, rate=4)
+    assert (cfg.t, cfg.bars, cfg.rounds, cfg.capacity) == (8, 4, 6, 4)
+    assert cfg.concrete[0] == (25, 6, 2, 25, 27, 14, 29, 1)
+    assert cfg.concrete_small_entries() is not None
+    s = OracleMonolithSponge(cfg)
+    s.absorb_field_elements(list(range(4)))
+    assert s.squeeze_native_field_elements(2) == [
+        3013020673448842056,
+        17604359482555244088,
+    ]
+    _run_monolith_kernel_body(cfg, stride=85)
