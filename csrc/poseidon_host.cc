@@ -139,6 +139,9 @@ struct Poseidon2Tables {
   const int32_t* diag_small;
 };
 
+struct MonolithTables;
+struct RescueTables;
+
 struct PoseidonCtx {
   FieldCtx64 f;
   int t, alpha, full_rounds, partial_rounds;
@@ -149,7 +152,9 @@ struct PoseidonCtx {
   // c_first (t) ‖ constants ((k-1)*t) ‖ row0 ((k-1)*t) ‖ col0 ((k-1)*(t-1))
   // ‖ dense (t*t), each element NW u64 Montgomery words.
   const u64* opt;
-  const Poseidon2Tables* p2;  // non-null => Poseidon2 schedule
+  const Poseidon2Tables* p2;      // non-null => Poseidon2 schedule
+  const MonolithTables* mono;     // non-null => Monolith schedule
+  const RescueTables* rescue;     // non-null => Rescue-Prime schedule
 };
 
 inline void one_round(const PoseidonCtx& c, int r, bool full, u64* st,
@@ -283,7 +288,159 @@ inline void permute_one_p2(const PoseidonCtx& c, u64* st, u64* scratch) {
   }
 }
 
+// out = x^e for a wide (multi-word) exponent, MSB-first square-and-multiply.
+// Used by Rescue-Prime's inverse S-box, whose exponent 1/alpha mod (p-1) is
+// ~log2(p) bits.
+inline void mont_pow_wide(const FieldCtx64& f, const u64* x, const u64* exp,
+                          int n_words, const u64* one_mont, u64* out) {
+  u64 acc[NW];
+  std::memcpy(acc, one_mont, sizeof(acc));
+  bool started = false;
+  for (int w = n_words - 1; w >= 0; --w) {
+    if (!started && exp[w] == 0) continue;
+    int top = started ? 63 : 63 - __builtin_clzll(exp[w]);
+    started = true;
+    for (int bit = top; bit >= 0; --bit) {
+      mont_mul(f, acc, acc, acc);
+      if ((exp[w] >> bit) & 1) mont_mul(f, acc, x, acc);
+    }
+  }
+  std::memcpy(out, acc, sizeof(acc));
+}
+
+// Rescue-Prime tables (ePrint 2020/1143 §2.4; see sponge_tpu/rescue).
+struct RescueTables {
+  const u64* rc;         // (2 * rounds * t * NW) words, Montgomery
+  const u64* mds;        // (t * t * NW) words, Montgomery
+  const u64* inv_alpha;  // (NW) words: plain exponent 1/alpha mod (p-1)
+  const u64* one_mont;   // (NW) words: Montgomery form of 1
+  int32_t rounds;
+};
+
+// Monolith tables (ePrint 2023/1025 structure; see
+// sponge_tpu/monolith/config.py).  Only bar-safe fields with p < 2^64 are
+// dispatched here (the Python wrapper gates), so a canonical value fits one
+// u64 word and Bars run on it directly.
+struct MonolithTables {
+  const u64* rc;        // (rounds * t * NW) words, Montgomery (last row zero)
+  const u64* concrete;  // (t * t * NW) words, Montgomery
+  const u64* r2;        // (NW) words: R^2 mod p (to-Montgomery factor)
+  int32_t rounds;
+  int32_t bars;     // u: leading elements through Bar each round
+  int32_t n_bits;   // modulus bit length (bar chunking: 8,8,...,rem)
+};
+
+// The chi-like k-bit chunk S-box (config.chunk_sbox semantics).
+inline u64 chi_chunk(u64 y, int k) {
+  const u64 mask = (k == 64) ? ~0ull : ((1ull << k) - 1);
+  auto rot = [&](u64 v, int r) {
+    r %= k;
+    return r == 0 ? v : ((v << r) | (v >> (k - r))) & mask;
+  };
+  const u64 nb = (~y) & mask;
+  u64 z = (k % 2 == 0) ? (y ^ (rot(nb, 1) & rot(y, 2) & rot(y, 3)))
+                       : (y ^ (rot(nb, 1) & rot(y, 2)));
+  return rot(z, 1);
+}
+
+// Bar on a canonical value < p < 2^64: S-box each 8-bit chunk plus the
+// (n_bits % 8)-bit top chunk.
+inline u64 bar_u64(u64 x, int n_bits) {
+  u64 out = 0;
+  int bit = 0;
+  while (bit < n_bits) {
+    const int k = (n_bits - bit >= 8) ? 8 : (n_bits - bit);
+    out |= chi_chunk((x >> bit) & ((1ull << k) - 1), k) << bit;
+    bit += k;
+  }
+  return out;
+}
+
+// Monolith permutation: Concrete, then R rounds of Bars -> Bricks ->
+// Concrete -> + rc (last row zero).  State in Montgomery form; Bars cross to
+// canonical via REDC-by-1 and return via the R^2 multiply.
+inline void permute_one_monolith(const PoseidonCtx& c, u64* st, u64* scratch) {
+  const int t = c.t;
+  const MonolithTables& m = *c.mono;
+  static const u64 one_plain[NW] = {1, 0, 0, 0};
+
+  auto concrete = [&](u64* s) {
+    for (int i = 0; i < t; ++i) {
+      u64 acc[NW] = {0};
+      for (int j = 0; j < t; ++j) {
+        u64 prod[NW];
+        mont_mul(c.f, m.concrete + ((int64_t)i * t + j) * NW, s + j * NW, prod);
+        mont_add(c.f, acc, prod, acc);
+      }
+      std::memcpy(scratch + i * NW, acc, NW * sizeof(u64));
+    }
+    std::memcpy(s, scratch, (size_t)t * NW * sizeof(u64));
+  };
+
+  concrete(st);
+  for (int r = 0; r < m.rounds; ++r) {
+    // Bars.
+    for (int e = 0; e < m.bars; ++e) {
+      u64 plain[NW];
+      mont_mul(c.f, st + e * NW, one_plain, plain);  // canonical < p < 2^64
+      plain[0] = bar_u64(plain[0], m.n_bits);
+      mont_mul(c.f, plain, m.r2, st + e * NW);  // back to Montgomery
+    }
+    // Bricks: x_i += x_{i-1}^2 over the ORIGINAL values (parallel Feistel).
+    for (int e = 0; e < t - 1; ++e)
+      mont_mul(c.f, st + e * NW, st + e * NW, scratch + e * NW);
+    for (int i = t - 1; i >= 1; --i)
+      mont_add(c.f, st + i * NW, scratch + (i - 1) * NW, st + i * NW);
+    concrete(st);
+    for (int e = 0; e < t; ++e)
+      mont_add(c.f, st + e * NW, m.rc + ((int64_t)r * t + e) * NW, st + e * NW);
+  }
+}
+
+// Rescue-Prime permutation: per round, forward S-box x^alpha / MDS / rc,
+// then inverse S-box x^(1/alpha) / MDS / rc (ePrint 2020/1143 §2.4).
+inline void permute_one_rescue(const PoseidonCtx& c, u64* st, u64* scratch) {
+  const int t = c.t;
+  const RescueTables& rt = *c.rescue;
+
+  auto mds = [&](u64* s) {
+    for (int i = 0; i < t; ++i) {
+      u64 acc[NW] = {0};
+      for (int j = 0; j < t; ++j) {
+        u64 prod[NW];
+        mont_mul(c.f, rt.mds + ((int64_t)i * t + j) * NW, s + j * NW, prod);
+        mont_add(c.f, acc, prod, acc);
+      }
+      std::memcpy(scratch + i * NW, acc, NW * sizeof(u64));
+    }
+    std::memcpy(s, scratch, (size_t)t * NW * sizeof(u64));
+  };
+
+  for (int r = 0; r < rt.rounds; ++r) {
+    for (int e = 0; e < t; ++e) mont_pow(c.f, st + e * NW, c.alpha, st + e * NW);
+    mds(st);
+    for (int e = 0; e < t; ++e)
+      mont_add(c.f, st + e * NW, rt.rc + ((int64_t)(2 * r) * t + e) * NW,
+               st + e * NW);
+    for (int e = 0; e < t; ++e)
+      mont_pow_wide(c.f, st + e * NW, rt.inv_alpha, NW, rt.one_mont,
+                    st + e * NW);
+    mds(st);
+    for (int e = 0; e < t; ++e)
+      mont_add(c.f, st + e * NW, rt.rc + ((int64_t)(2 * r + 1) * t + e) * NW,
+               st + e * NW);
+  }
+}
+
 inline void permute_one(const PoseidonCtx& c, u64* st, u64* scratch) {
+  if (c.rescue != nullptr) {
+    permute_one_rescue(c, st, scratch);
+    return;
+  }
+  if (c.mono != nullptr) {
+    permute_one_monolith(c, st, scratch);
+    return;
+  }
   if (c.p2 != nullptr) {
     permute_one_p2(c, st, scratch);
     return;
@@ -304,7 +461,9 @@ inline void permute_one(const PoseidonCtx& c, u64* st, u64* scratch) {
 inline PoseidonCtx make_ctx(const u64* fctx, int32_t t, int32_t alpha,
                             int32_t full_rounds, int32_t partial_rounds,
                             const u64* ark, const u64* mds, const u64* opt,
-                            const Poseidon2Tables* p2) {
+                            const Poseidon2Tables* p2,
+                            const MonolithTables* mono = nullptr,
+                            const RescueTables* rescue = nullptr) {
   PoseidonCtx c;
   std::memcpy(c.f.p, fctx, NW * sizeof(u64));
   c.f.n0inv = fctx[NW];
@@ -316,6 +475,8 @@ inline PoseidonCtx make_ctx(const u64* fctx, int32_t t, int32_t alpha,
   c.mds = mds;
   c.opt = opt;
   c.p2 = p2;
+  c.mono = mono;
+  c.rescue = rescue;
   return c;
 }
 
@@ -496,6 +657,57 @@ void poseidon2_sponge_run(const u64* fctx, int32_t t, int32_t alpha,
   Poseidon2Tables p2{ext_rc, int_rc, mat_e, diag_m1, diag_small};
   PoseidonCtx c = make_ctx(fctx, t, alpha, full_rounds, partial_rounds,
                            nullptr, nullptr, nullptr, &p2);
+  sponge_run(c, rate, capacity, steps, n_steps, elems, out, state_io, bk);
+}
+
+// Monolith entries (ePrint 2023/1025 structure).  rc: rounds * t elements
+// (Montgomery, last row zero); concrete: t*t elements (Montgomery); r2: one
+// element (R^2 mod p); n_bits: modulus bit length (bar chunking).  The
+// caller guarantees the field is bar-safe with p < 2^64.
+void monolith_permute_host(const u64* fctx, int32_t t, int32_t rounds,
+                           int32_t bars, int32_t n_bits, const u64* rc,
+                           const u64* concrete, const u64* r2, u64* states,
+                           int64_t n, int32_t n_threads) {
+  MonolithTables m{rc, concrete, r2, rounds, bars, n_bits};
+  PoseidonCtx c =
+      make_ctx(fctx, t, 2, 0, 0, nullptr, nullptr, nullptr, nullptr, &m);
+  batch_permute(c, states, n, n_threads);
+}
+
+void monolith_sponge_run(const u64* fctx, int32_t t, int32_t rounds,
+                         int32_t bars, int32_t n_bits, int32_t rate,
+                         int32_t capacity, const u64* rc, const u64* concrete,
+                         const u64* r2, const int32_t* steps, int64_t n_steps,
+                         const u64* elems, u64* out, u64* state_io,
+                         int32_t* bk) {
+  MonolithTables m{rc, concrete, r2, rounds, bars, n_bits};
+  PoseidonCtx c =
+      make_ctx(fctx, t, 2, 0, 0, nullptr, nullptr, nullptr, nullptr, &m);
+  sponge_run(c, rate, capacity, steps, n_steps, elems, out, state_io, bk);
+}
+
+// Rescue-Prime entries (ePrint 2020/1143).  rc: 2 * rounds * t elements
+// (Montgomery); mds: t*t elements (Montgomery); inv_alpha: 4 u64 LE plain
+// exponent words (1/alpha mod p-1); one_mont: Montgomery form of 1.
+void rescue_permute_host(const u64* fctx, int32_t t, int32_t alpha,
+                         int32_t rounds, const u64* rc, const u64* mds,
+                         const u64* inv_alpha, const u64* one_mont,
+                         u64* states, int64_t n, int32_t n_threads) {
+  RescueTables rt{rc, mds, inv_alpha, one_mont, rounds};
+  PoseidonCtx c = make_ctx(fctx, t, alpha, 0, 0, nullptr, nullptr, nullptr,
+                           nullptr, nullptr, &rt);
+  batch_permute(c, states, n, n_threads);
+}
+
+void rescue_sponge_run(const u64* fctx, int32_t t, int32_t alpha,
+                       int32_t rounds, int32_t rate, int32_t capacity,
+                       const u64* rc, const u64* mds, const u64* inv_alpha,
+                       const u64* one_mont, const int32_t* steps,
+                       int64_t n_steps, const u64* elems, u64* out,
+                       u64* state_io, int32_t* bk) {
+  RescueTables rt{rc, mds, inv_alpha, one_mont, rounds};
+  PoseidonCtx c = make_ctx(fctx, t, alpha, 0, 0, nullptr, nullptr, nullptr,
+                           nullptr, nullptr, &rt);
   sponge_run(c, rate, capacity, steps, n_steps, elems, out, state_io, bk);
 }
 

@@ -80,7 +80,9 @@ from .monolith import (
 )
 from .lazy import LazyPoseidonSponge
 from .poseidon.host import (
+    HostMonolithSponge,
     HostPoseidon2Sponge,
+    HostRescueSponge,
     HostPoseidonSponge,
     host_available,
     host_run_schedule,
@@ -114,7 +116,9 @@ __all__ = [
     "PoseidonSponge",
     "LazyPoseidonSponge",
     "HostPoseidonSponge",
+    "HostMonolithSponge",
     "HostPoseidon2Sponge",
+    "HostRescueSponge",
     "Poseidon2Config",
     "OraclePoseidon2Sponge",
     "generate_poseidon2_parameters",

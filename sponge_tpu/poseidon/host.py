@@ -45,6 +45,9 @@ _R = 1 << _R_BITS
 
 def _supported(cfg: PoseidonConfig) -> bool:
     p = cfg.field.modulus
+    if _is_monolith(cfg):
+        # Bars run on a single canonical u64 word in the native runtime.
+        return p % 2 == 1 and p.bit_length() <= 64
     return (
         p % 2 == 1
         and p.bit_length() <= _R_BITS
@@ -138,6 +141,74 @@ def _is_p2(cfg) -> bool:
     return isinstance(cfg, Poseidon2Config)
 
 
+def _is_monolith(cfg) -> bool:
+    from ..monolith.config import MonolithConfig
+
+    return isinstance(cfg, MonolithConfig)
+
+
+def _is_rescue(cfg) -> bool:
+    from ..rescue.config import RescueConfig
+
+    return isinstance(cfg, RescueConfig)
+
+
+@dataclass(frozen=True)
+class _HostTablesR:
+    """Per-config native Rescue-Prime constants (csrc RescueTables layout)."""
+
+    fctx: np.ndarray      # (5,) u64: p (4 LE words) + n0inv
+    rc: np.ndarray        # (2*rounds*t*4,) u64, Montgomery
+    mds: np.ndarray       # (t*t*4,) u64, Montgomery
+    inv_alpha: np.ndarray  # (4,) u64 LE: plain exponent 1/alpha mod (p-1)
+    one_mont: np.ndarray  # (4,) u64: Montgomery form of 1
+
+
+@functools.lru_cache(maxsize=32)
+def _tablesr(cfg) -> _HostTablesR:
+    p = cfg.field.modulus
+    fctx = np.zeros(5, dtype=np.uint64)
+    fctx[0:4] = np.frombuffer(p.to_bytes(32, "little"), dtype=np.uint64)
+    fctx[4] = (-pow(p, -1, 1 << 64)) % (1 << 64)
+    rc = _to_mont_words(p, [a for row in cfg.rc for a in row]).reshape(-1)
+    mds = _to_mont_words(p, [m for row in cfg.mds for m in row]).reshape(-1)
+    inv_alpha = np.ascontiguousarray(
+        np.frombuffer(cfg.inv_alpha.to_bytes(32, "little"), dtype=np.uint64)
+    )
+    one_mont = np.ascontiguousarray(
+        np.frombuffer((_R % p).to_bytes(32, "little"), dtype=np.uint64)
+    )
+    return _HostTablesR(
+        fctx=fctx, rc=rc, mds=mds, inv_alpha=inv_alpha, one_mont=one_mont
+    )
+
+
+@dataclass(frozen=True)
+class _HostTablesM:
+    """Per-config native Monolith constants (csrc MonolithTables layout)."""
+
+    fctx: np.ndarray      # (5,) u64: p (4 LE words) + n0inv
+    rc: np.ndarray        # (rounds*t*4,) u64, Montgomery (last row zero)
+    concrete: np.ndarray  # (t*t*4,) u64, Montgomery
+    r2: np.ndarray        # (4,) u64: R^2 mod p (to-Montgomery factor)
+
+
+@functools.lru_cache(maxsize=32)
+def _tablesm(cfg) -> _HostTablesM:
+    p = cfg.field.modulus
+    fctx = np.zeros(5, dtype=np.uint64)
+    fctx[0:4] = np.frombuffer(p.to_bytes(32, "little"), dtype=np.uint64)
+    fctx[4] = (-pow(p, -1, 1 << 64)) % (1 << 64)
+    rc = _to_mont_words(p, [a for row in cfg.rc for a in row]).reshape(-1)
+    concrete = _to_mont_words(
+        p, [v for row in cfg.concrete for v in row]
+    ).reshape(-1)
+    r2 = np.ascontiguousarray(
+        np.frombuffer(((_R * _R) % p).to_bytes(32, "little"), dtype=np.uint64)
+    )
+    return _HostTablesM(fctx=fctx, rc=rc, concrete=concrete, r2=r2)
+
+
 def _call_permute(lib, cfg, plane: np.ndarray, n: int, n_threads: int,
                   tab=None) -> None:
     """Dispatch the native batch permute on the config family (in-place).
@@ -146,7 +217,23 @@ def _call_permute(lib, cfg, plane: np.ndarray, n: int, n_threads: int,
     it on per-permute hot paths to skip the lru_cache lookup, which hashes the
     whole config (63x3 bigint ark tuple) and costs ~4% of a native permute.
     """
-    if _is_p2(cfg):
+    if _is_rescue(cfg):
+        tab = tab if tab is not None else _tablesr(cfg)
+        lib.rescue_permute_host(
+            tab.fctx.ctypes.data, cfg.t, cfg.alpha, cfg.rounds,
+            tab.rc.ctypes.data, tab.mds.ctypes.data,
+            tab.inv_alpha.ctypes.data, tab.one_mont.ctypes.data,
+            plane.ctypes.data, n, n_threads,
+        )
+    elif _is_monolith(cfg):
+        tab = tab if tab is not None else _tablesm(cfg)
+        lib.monolith_permute_host(
+            tab.fctx.ctypes.data, cfg.t, cfg.rounds, cfg.bars,
+            cfg.field.modulus_bit_size, tab.rc.ctypes.data,
+            tab.concrete.ctypes.data, tab.r2.ctypes.data,
+            plane.ctypes.data, n, n_threads,
+        )
+    elif _is_p2(cfg):
         tab = tab if tab is not None else _tables2(cfg)
         lib.poseidon2_permute_host(
             tab.fctx.ctypes.data, cfg.t, cfg.alpha, cfg.full_rounds,
@@ -228,7 +315,14 @@ class HostPoseidonSponge(OraclePoseidonSponge):
         # Resolve tables/lib once: hashing the config (63x3 bigint ark tuple)
         # per permute would cost a measurable fraction of the permutation.
         if self._native:
-            self._tab = _tables2(cfg) if _is_p2(cfg) else _tables(cfg)
+            if _is_rescue(cfg):
+                self._tab = _tablesr(cfg)
+            elif _is_monolith(cfg):
+                self._tab = _tablesm(cfg)
+            elif _is_p2(cfg):
+                self._tab = _tables2(cfg)
+            else:
+                self._tab = _tables(cfg)
         else:
             self._tab = None
         self._lib = get_poseidon_lib() if self._native else None
@@ -251,7 +345,9 @@ class HostPoseidonSponge(OraclePoseidonSponge):
         return new
 
 
+from ..monolith.oracle import OracleMonolithSponge  # noqa: E402
 from ..poseidon2.oracle import OraclePoseidon2Sponge  # noqa: E402
+from ..rescue.oracle import OracleRescueSponge  # noqa: E402
 
 
 class HostPoseidon2Sponge(HostPoseidonSponge, OraclePoseidon2Sponge):
@@ -262,6 +358,14 @@ class HostPoseidon2Sponge(HostPoseidonSponge, OraclePoseidon2Sponge):
     by config family) and its pure-python fallback ``super().permute()``
     resolves to the Poseidon2 oracle schedule.
     """
+
+
+class HostMonolithSponge(HostPoseidonSponge, OracleMonolithSponge):
+    """The Monolith oracle with the native permute (same MRO pattern)."""
+
+
+class HostRescueSponge(HostPoseidonSponge, OracleRescueSponge):
+    """The Rescue-Prime oracle with the native permute (same MRO pattern)."""
 
 
 _MODE_CODE = {ABSORBING: 0, SQUEEZING: 1}
@@ -314,7 +418,26 @@ def host_run_schedule(cfg, steps, elems, state: SpongeState = None):
     st = np.ascontiguousarray(_to_mont_words(p, state.state))
     bk = np.array([_MODE_CODE[state.mode], state.index], dtype=np.int32)
 
-    if _is_p2(cfg):
+    if _is_rescue(cfg):
+        tab = _tablesr(cfg)
+        lib.rescue_sponge_run(
+            tab.fctx.ctypes.data, cfg.t, cfg.alpha, cfg.rounds,
+            cfg.rate, cfg.capacity,
+            tab.rc.ctypes.data, tab.mds.ctypes.data,
+            tab.inv_alpha.ctypes.data, tab.one_mont.ctypes.data,
+            step_arr.ctypes.data, len(steps),
+            ein.ctypes.data, out.ctypes.data, st.ctypes.data, bk.ctypes.data,
+        )
+    elif _is_monolith(cfg):
+        tab = _tablesm(cfg)
+        lib.monolith_sponge_run(
+            tab.fctx.ctypes.data, cfg.t, cfg.rounds, cfg.bars,
+            cfg.field.modulus_bit_size, cfg.rate, cfg.capacity,
+            tab.rc.ctypes.data, tab.concrete.ctypes.data, tab.r2.ctypes.data,
+            step_arr.ctypes.data, len(steps),
+            ein.ctypes.data, out.ctypes.data, st.ctypes.data, bk.ctypes.data,
+        )
+    elif _is_p2(cfg):
         tab = _tables2(cfg)
         lib.poseidon2_sponge_run(
             tab.fctx.ctypes.data, cfg.t, cfg.alpha, cfg.full_rounds,

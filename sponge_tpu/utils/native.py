@@ -165,6 +165,68 @@ def _build_poseidon() -> Optional[ctypes.CDLL]:
         ctypes.c_void_p,  # state_io
         ctypes.c_void_p,  # bk
     ]
+    lib.rescue_permute_host.argtypes = [
+        ctypes.c_void_p,  # fctx
+        ctypes.c_int32,   # t
+        ctypes.c_int32,   # alpha
+        ctypes.c_int32,   # rounds
+        ctypes.c_void_p,  # rc (2*rounds*t*4 u64, Montgomery)
+        ctypes.c_void_p,  # mds (t*t*4 u64, Montgomery)
+        ctypes.c_void_p,  # inv_alpha (4 u64 LE plain exponent)
+        ctypes.c_void_p,  # one_mont (4 u64: Montgomery 1)
+        ctypes.c_void_p,  # states (n*t*4 u64, in-place)
+        ctypes.c_int64,   # n
+        ctypes.c_int32,   # n_threads
+    ]
+    lib.rescue_sponge_run.argtypes = [
+        ctypes.c_void_p,  # fctx
+        ctypes.c_int32,   # t
+        ctypes.c_int32,   # alpha
+        ctypes.c_int32,   # rounds
+        ctypes.c_int32,   # rate
+        ctypes.c_int32,   # capacity
+        ctypes.c_void_p,  # rc
+        ctypes.c_void_p,  # mds
+        ctypes.c_void_p,  # inv_alpha
+        ctypes.c_void_p,  # one_mont
+        ctypes.c_void_p,  # steps
+        ctypes.c_int64,   # n_steps
+        ctypes.c_void_p,  # elems
+        ctypes.c_void_p,  # out
+        ctypes.c_void_p,  # state_io
+        ctypes.c_void_p,  # bk
+    ]
+    lib.monolith_permute_host.argtypes = [
+        ctypes.c_void_p,  # fctx
+        ctypes.c_int32,   # t
+        ctypes.c_int32,   # rounds
+        ctypes.c_int32,   # bars (u)
+        ctypes.c_int32,   # n_bits (modulus bit length, bar chunking)
+        ctypes.c_void_p,  # rc (rounds*t*4 u64, Montgomery, last row zero)
+        ctypes.c_void_p,  # concrete (t*t*4 u64, Montgomery)
+        ctypes.c_void_p,  # r2 (4 u64: R^2 mod p)
+        ctypes.c_void_p,  # states (n*t*4 u64, in-place)
+        ctypes.c_int64,   # n
+        ctypes.c_int32,   # n_threads
+    ]
+    lib.monolith_sponge_run.argtypes = [
+        ctypes.c_void_p,  # fctx
+        ctypes.c_int32,   # t
+        ctypes.c_int32,   # rounds
+        ctypes.c_int32,   # bars
+        ctypes.c_int32,   # n_bits
+        ctypes.c_int32,   # rate
+        ctypes.c_int32,   # capacity
+        ctypes.c_void_p,  # rc
+        ctypes.c_void_p,  # concrete
+        ctypes.c_void_p,  # r2
+        ctypes.c_void_p,  # steps
+        ctypes.c_int64,   # n_steps
+        ctypes.c_void_p,  # elems
+        ctypes.c_void_p,  # out
+        ctypes.c_void_p,  # state_io
+        ctypes.c_void_p,  # bk
+    ]
     return lib
 
 

@@ -217,3 +217,84 @@ def test_host_poseidon2_run_schedule_vs_oracle():
     want += o.squeeze_native_field_elements(5)
     assert got == want
     assert state.state == o.state and state.index == o.index
+
+
+def test_host_monolith_vs_oracle():
+    """Native Monolith permute + full sponge + schedule driver vs oracle,
+    over all three bar-safe fields."""
+    from sponge_tpu import (
+        GOLDILOCKS_FR,
+        KOALABEAR_FR,
+        MERSENNE31_FR,
+        get_default_monolith_parameters,
+    )
+    from sponge_tpu.monolith import OracleMonolithSponge
+    from sponge_tpu.poseidon.host import HostMonolithSponge, host_available
+
+    rng = np.random.default_rng(13)
+    for fs in (GOLDILOCKS_FR, MERSENNE31_FR, KOALABEAR_FR):
+        cfg = get_default_monolith_parameters(fs)
+        if not host_available(cfg):
+            pytest.skip("no C++ toolchain")
+        t = cfg.t
+        states = [int(v) % fs.modulus for v in rng.integers(0, 1 << 62, size=2 * t)]
+        states[0] = 0
+        states[1] = fs.modulus - 1
+        got = host_permute_states(cfg, states)
+        for b in range(2):
+            o = OracleMonolithSponge(cfg)
+            o.state = states[b * t : (b + 1) * t]
+            o.permute()
+            assert got[b * t : (b + 1) * t] == o.state, (fs.name, b)
+        h = HostMonolithSponge(cfg)
+        assert h._native
+        o = OracleMonolithSponge(cfg)
+        vals = [int(v) % fs.modulus for v in rng.integers(0, 1 << 62, size=10)]
+        h.absorb_field_elements(vals)
+        o.absorb_field_elements(vals)
+        assert h.squeeze_native_field_elements(11) == o.squeeze_native_field_elements(11)
+        sq, st = host_run_schedule(
+            cfg, [("absorb", 10), ("squeeze", 11), ("absorb", 1), ("squeeze", 3)],
+            vals + [7],
+        )
+        o2 = OracleMonolithSponge(cfg)
+        o2.absorb_field_elements(vals)
+        want = o2.squeeze_native_field_elements(11)
+        o2.absorb_field_elements([7])
+        want += o2.squeeze_native_field_elements(3)
+        assert sq == want, fs.name
+        assert st.state == o2.state and st.index == o2.index
+
+
+def test_host_rescue_vs_oracle():
+    """Native Rescue-Prime (wide-exponent inverse S-box) vs oracle, 31-bit
+    and 255-bit fields."""
+    from sponge_tpu import MERSENNE31_FR, get_default_rescue_parameters
+    from sponge_tpu.poseidon.host import HostRescueSponge, host_available
+    from sponge_tpu.rescue import OracleRescueSponge
+
+    rng = np.random.default_rng(14)
+    for fs, rate in ((MERSENNE31_FR, 8), (FR, 2)):
+        cfg = get_default_rescue_parameters(fs, rate)
+        if not host_available(cfg):
+            pytest.skip("no C++ toolchain")
+        t = cfg.t
+        states = [int(v) % fs.modulus for v in rng.integers(0, 1 << 62, size=t)]
+        states[0] = 0
+        got = host_permute_states(cfg, states)
+        o = OracleRescueSponge(cfg)
+        o.state = list(states)
+        o.permute()
+        assert got == o.state, fs.name
+        h = HostRescueSponge(cfg)
+        assert h._native
+        o = OracleRescueSponge(cfg)
+        vals = [int(v) % fs.modulus for v in rng.integers(0, 1 << 62, size=5)]
+        h.absorb_field_elements(vals)
+        o.absorb_field_elements(vals)
+        assert h.squeeze_native_field_elements(rate + 3) == \
+            o.squeeze_native_field_elements(rate + 3)
+        sq, _ = host_run_schedule(cfg, [("absorb", 5), ("squeeze", 3)], vals)
+        o2 = OracleRescueSponge(cfg)
+        o2.absorb_field_elements(vals)
+        assert sq == o2.squeeze_native_field_elements(3), fs.name
