@@ -16,6 +16,13 @@ onto the TPU VPU better than any power-map family:
   widened (L+E)-limb column space and rho-folded back exactly); the 31-bit
   Cauchy matrices reuse the lazy-REDC MDS machinery of ``pallas_cios``
   (one shared reduction per output row).
+* **Mersenne-prime fields** (p = 2^n - 1, e.g. Mersenne31) get a dedicated
+  canonical-domain kernel with ZERO Montgomery reductions anywhere: the
+  Montgomery form is a bit-rotation of the canonical value (R mod p = 2^s),
+  so the boundary maps are pure bit movement, Bricks squares reduce by the
+  2^(12L) = 2^s shift-fold, and Bars chi the canonical bits directly
+  (``_monolith_kernel_mersenne``; round constants enter PLAIN, see
+  ``monolith_rc_plane``).
 
 Value discipline: the kernel keeps values < ~8p between sites (far below
 R = 2^(12 L) for the bar-safe fields, whose R/p is >= 32) — every bound is
@@ -54,7 +61,27 @@ from .pallas_cios import (
 )
 from .pallas_p2 import _fold_norm_multi
 
-__all__ = ["monolith_kernel_fn", "check_kernel_bounds", "TILE_LANES", "SUBLANES"]
+__all__ = [
+    "monolith_kernel_fn",
+    "monolith_rc_plane",
+    "check_kernel_bounds",
+    "TILE_LANES",
+    "SUBLANES",
+]
+
+
+def monolith_rc_plane(cfg: "MonolithConfig") -> "np.ndarray":
+    """(rounds, t*L) int32 round-constant SMEM plane in the domain the kernel
+    body expects: plain canonical for the Mersenne canonical-domain kernel,
+    Montgomery form for the generic kernel."""
+    fs = cfg.field
+    if check_kernel_bounds(cfg)["rot"] is not None:
+        conv = lambda c: fs.int_to_limbs(c % fs.modulus)  # noqa: E731
+    else:
+        conv = fs.int_to_mont_limbs
+    return np.stack(
+        [np.concatenate([conv(c) for c in row]) for row in cfg.rc]
+    ).astype(np.int32)
 
 
 # ---------------------------------------------------------------------------
@@ -109,6 +136,47 @@ def check_kernel_bounds(cfg: MonolithConfig) -> dict:
             )
         return out
 
+    rot = mersenne_rot_shift(fs)
+    info["rot"] = rot
+    if rot is not None:
+        # --- Mersenne canonical-domain path: NO Montgomery machinery at all.
+        # Every round starts with an exact fold-canonicalization (any value
+        # < R -> unique representative < p, no multiplies), so bound
+        # propagation is per-round-local; the sites needing static fold
+        # counts are the squares, the bricks add, the concrete, the rc add.
+        # (Measured alternative: canonicalizing only the u barred elements
+        # and keeping the rest lazily < R costs MORE — the extra rho-folds
+        # at every square/add site outweigh the saved canon chains: 52-53M
+        # vs 55-57M perms/s for M31 t=16 on v5e.)
+        s = rot
+        # Square reduce: T = x^2 < p^2; post column-fold value < R + Hi*2^s.
+        hi_sq = ((p - 1) * (p - 1)) >> (LIMB_BITS * L)
+        f_sq, v_sq = _fold_post(R, 1 << s, R + (hi_sq << s))
+        # Bricks add: x_i (< p, canon'd at round entry) + square (< v_sq).
+        f_add, v_add = _fold_post(R, rho, p + v_sq)
+        v = max(p, v_add)  # opening concrete sees < p; round concrete this
+        if geo is not None:
+            total = geo["row_sum"] * v
+            if total >= 1 << (LIMB_BITS * (L + geo["E"])):
+                raise ValueError("scaled concrete widened plane overflows")
+            hi_max = total >> (LIMB_BITS * L)
+            f_conc, v_conc = _fold_post(R, rho, R + hi_max * rho)
+        else:
+            # Dense concrete via lazy canonical accumulation: one shared
+            # Mersenne reduce per output row.  Column int32 budget: t*L
+            # products of < 2^24 per column plus the shift-fold.
+            if t * L * (1 << (2 * LIMB_BITS)) >= 1 << 30:
+                raise ValueError("dense Mersenne concrete exceeds int32 columns")
+            hi_max = (t * (p - 1) * v) >> (LIMB_BITS * L)
+            f_conc, v_conc = _fold_post(R, 1 << s, R + (hi_max << s))
+        f_rc, v_rc = _fold_post(R, rho, v_conc + p)
+        if v_rc > R:
+            raise ValueError("Mersenne round value bound exceeds R")
+        info["geo"] = geo
+        info["folds"] = {"sq": f_sq, "add": f_add, "conc": f_conc, "rc": f_rc}
+        return info
+
+    # --- Generic Montgomery path ---
     # Bar outputs: to-mont REDC of canonical bits by R^2 (both operands < p).
     v_barred = redc_out(p * p)
     v = 4 * p  # sponge-invariant inputs (absorb adds on < 2p outputs)
@@ -210,6 +278,106 @@ def _bar_multi(lists, fs):
     return outs
 
 
+def mersenne_rot_shift(fs) -> int | None:
+    """For Mersenne-prime fields (p = 2^n - 1) the Montgomery form is a pure
+    bit-rotation of the canonical value: R mod p = 2^s with s = 12L mod n, so
+    m = x * 2^s mod p = rotl_s(x) on n-bit strings.  Bars can therefore run
+    directly in the Montgomery domain — extract the canonical chunks at
+    rotated bit positions (with wrap), S-box, scatter back — with ZERO
+    multiplies (no REDC in, no R^2 multiply out).  Returns the shift s, or
+    None when the trick does not apply (non-Mersenne p, or the 12L - n high
+    bits span more than one limb)."""
+    n = fs.modulus_bit_size
+    if fs.modulus != (1 << n) - 1:
+        return None
+    s = (LIMB_BITS * fs.nlimbs) % n
+    if s == 0 or s >= LIMB_BITS:
+        return None
+    return s
+
+
+def _mersenne_canon_multi(lists, fs, p_limbs):
+    """Exact canonicalization of Montgomery-domain values < R over a
+    Mersenne prime: fold the s high bits with 2^n ≡ 1 (value < 2p), then the
+    usual exact-carry + conditional subtract.  No multiplies."""
+    n = fs.modulus_bit_size
+    L = fs.nlimbs
+    off = n % LIMB_BITS  # bit position of the fold boundary in the top limb
+    folded = []
+    for limbs in lists:
+        hi = limbs[L - 1] >> off
+        top = limbs[L - 1] & ((1 << off) - 1)
+        folded.append([limbs[0] + hi] + list(limbs[1 : L - 1]) + [top])
+    return _canon_multi(folded, p_limbs)
+
+
+def _rot_bits_multi(lists, fs, shift):
+    """Bit-rotate canonical-exact n-bit values left by ``shift`` (mod-p
+    multiplication by 2^shift over a Mersenne prime, as pure bit movement)."""
+    n = fs.modulus_bit_size
+    L = fs.nlimbs
+    outs = []
+    for limbs in lists:
+        acc = [None] * L
+        for k in range(L):
+            w = min(LIMB_BITS, n - LIMB_BITS * k)
+            if w <= 0:
+                break
+            v = limbs[k] & ((1 << w) - 1)
+            pos = (LIMB_BITS * k + shift) % n
+            if pos + w <= n:
+                _put_bits(acc, v, pos, w)
+            else:
+                lo_w = n - pos
+                _put_bits(acc, v & ((1 << lo_w) - 1), pos, lo_w)
+                _put_bits(acc, v >> lo_w, 0, w - lo_w)
+        outs.append(
+            [a if a is not None else jnp.zeros_like(limbs[0]) for a in acc]
+        )
+    return outs
+
+
+def _put_bits(acc, v, b0, w):
+    """Scatter a w-bit value at bit position b0 into a 12-bit limb list."""
+    k, off = divmod(b0, LIMB_BITS)
+    part = (v << off) & LIMB_MASK
+    acc[k] = part if acc[k] is None else acc[k] | part
+    done = LIMB_BITS - off
+    while done < w:
+        k += 1
+        part = (v >> done) & LIMB_MASK
+        acc[k] = part if acc[k] is None else acc[k] | part
+        done += LIMB_BITS
+
+
+def _plain_sqr_cols(L, a):
+    """Plain (un-doubled) schoolbook columns of a^2: L^2 products, every
+    column <= L * 2^24 — the bound the Mersenne shift-fold needs (the
+    symmetric builder's doubled operands would overflow after the shift)."""
+    cols = [None] * (2 * L)
+    for i in range(L):
+        for j in range(L):
+            term = a[i] * a[j]
+            k = i + j
+            cols[k] = term if cols[k] is None else cols[k] + term
+    cols[2 * L - 1] = jnp.zeros_like(a[0])
+    return cols
+
+
+def _mersenne_reduce_multi(cols_list, fs, s, rho_limbs, folds):
+    """Reduce 2L-column schoolbook products over a Mersenne prime with NO
+    Montgomery machinery: exact-carry the columns, fold the high limbs with
+    2^(12L) ≡ 2^s (a shift-add), close with ``folds`` top-carry rho-folds.
+    Output: limbs <= 2^12, value < R, exact mod p."""
+    L = fs.nlimbs
+    wide = _norm1_multi(cols_list)  # exact: value < R^2 fits 2L limbs
+    res = [
+        [w[k] + (w[L + k] << s) for k in range(L)]  # limbs <= 2^12 + 2^23
+        for w in wide
+    ]
+    return _fold_norm_multi(res, rho_limbs, folds)
+
+
 def _const_mul_cols(L, a, b_ints):
     """Schoolbook columns of a * const (static limb tuple; zero limbs skipped)."""
     cols = [None] * (2 * L)
@@ -268,7 +436,142 @@ def _scaled_concrete_multi(streams, geo, fs, rho_limbs, folds):
 # ---------------------------------------------------------------------------
 
 
+def _monolith_kernel_mersenne(rc_ref, state_ref, out_ref, *, cfg, lane_streams):
+    """Canonical-domain kernel for Mersenne-prime fields: ZERO Montgomery
+    reductions anywhere.  The state converts Montgomery <-> canonical at the
+    permutation boundary as pure bit rotations (m = rotl_s(x)); inside,
+    squares reduce by the 2^(12L) ≡ 2^s shift-fold, Bars run on the
+    canonical bits directly, and both Concrete paths are multiplication-free
+    or constant-scaled.  Bound proofs: check_kernel_bounds' Mersenne branch."""
+    fs = cfg.field
+    L = fs.nlimbs
+    t = cfg.t
+    u = cfg.bars
+    n = fs.modulus_bit_size
+    ns = lane_streams
+    fc = mont.field_consts(fs)
+    p_limbs = fc["p_tuple"]
+    rho_limbs = tuple(int(v) for v in fs.int_to_limbs(fs.r % fs.modulus))
+    info = check_kernel_bounds(cfg)
+    s = info["rot"]
+    geo = info["geo"]
+    folds = info["folds"]
+    if geo is None:
+        conc_plain = tuple(
+            tuple(tuple(int(v) for v in fs.int_to_limbs(c % fs.modulus)) for c in row)
+            for row in cfg.concrete
+        )
+
+    st4_init = state_ref[:]
+    S = st4_init.shape[2]
+    h = S // ns
+
+    def unpack_streams(st4):
+        return [
+            [[st4[e, l, s_ * h : (s_ + 1) * h] for l in range(L)] for e in range(t)]
+            for s_ in range(ns)
+        ]
+
+    def pack_streams(sts):
+        return jnp.stack(
+            [
+                jnp.stack(
+                    [
+                        jnp.concatenate([sts[s_][e][l] for s_ in range(ns)], axis=0)
+                        for l in range(L)
+                    ]
+                )
+                for e in range(t)
+            ]
+        )
+
+    def canon_all(sts):
+        flat = _mersenne_canon_multi(
+            [sts[s_][e] for s_ in range(ns) for e in range(t)], fs, p_limbs
+        )
+        return [flat[s_ * t : (s_ + 1) * t] for s_ in range(ns)]
+
+    def concrete(sts):
+        if geo is not None:
+            return _scaled_concrete_multi(sts, geo, fs, rho_limbs, folds["conc"])
+        cols_list = [
+            _mds_row_cols(L, t, sts[s_], conc_plain[i], range(t))
+            for s_ in range(ns)
+            for i in range(t)
+        ]
+        red = _mersenne_reduce_multi(cols_list, fs, s, rho_limbs, folds["conc"])
+        return [red[s_ * t : (s_ + 1) * t] for s_ in range(ns)]
+
+    def round_body(r, st4):
+        sts = canon_all(unpack_streams(st4))  # exact < p, no multiplies
+        # --- Bars: directly on the canonical bits ---
+        barred = _bar_multi(
+            [sts[s_][e] for s_ in range(ns) for e in range(u)], fs
+        )
+        for s_ in range(ns):
+            for e in range(u):
+                sts[s_][e] = barred[s_ * u + e]
+        # --- Bricks: plain-schoolbook squares + Mersenne shift-fold ---
+        sq = _mersenne_reduce_multi(
+            [
+                _plain_sqr_cols(L, sts[s_][e])
+                for s_ in range(ns)
+                for e in range(t - 1)
+            ],
+            fs, s, rho_limbs, folds["sq"],
+        )
+        added = _fold_norm_multi(  # value < p + v_sq, rho-folded back < R
+            [
+                [a + b for a, b in zip(sts[s_][i], sq[s_ * (t - 1) + i - 1])]
+                for s_ in range(ns)
+                for i in range(1, t)
+            ],
+            rho_limbs,
+            folds["add"],
+        )
+        for s_ in range(ns):
+            for i in range(1, t):
+                sts[s_][i] = added[s_ * (t - 1) + i - 1]
+        # --- Concrete + round constants (last row zeros) ---
+        sts = concrete(sts)
+        flat = [
+            [sts[s_][e][l] + rc_ref[r, e * L + l] for l in range(L)]
+            for s_ in range(ns)
+            for e in range(t)
+        ]
+        flat = _fold_norm_multi(flat, rho_limbs, folds["rc"])
+        for s_ in range(ns):
+            for e in range(t):
+                sts[s_][e] = flat[s_ * t + e]
+        return pack_streams(sts)
+
+    # Entry: canonicalize the Montgomery values (< p exact) and rotate right
+    # by s — the Montgomery -> canonical map over a Mersenne prime.
+    sts = canon_all(unpack_streams(st4_init))
+    flat = _rot_bits_multi(
+        [sts[s_][e] for s_ in range(ns) for e in range(t)], fs, n - s
+    )
+    sts = [flat[s_ * t : (s_ + 1) * t] for s_ in range(ns)]
+    st4 = pack_streams(concrete(sts))  # opening linear layer
+
+    st4 = jax.lax.fori_loop(0, cfg.rounds, round_body, st4)
+
+    # Exit: canonicalize, rotate left by s (canonical -> Montgomery); output
+    # < p satisfies the framework-wide < 2p invariant.
+    sts = canon_all(unpack_streams(st4))
+    flat = _rot_bits_multi(
+        [sts[s_][e] for s_ in range(ns) for e in range(t)], fs, s
+    )
+    sts = [flat[s_ * t : (s_ + 1) * t] for s_ in range(ns)]
+    out_ref[:] = pack_streams(sts)
+
+
 def _monolith_kernel(rc_ref, state_ref, out_ref, *, cfg, lane_streams):
+    info = check_kernel_bounds(cfg)
+    if info["rot"] is not None:
+        return _monolith_kernel_mersenne(
+            rc_ref, state_ref, out_ref, cfg=cfg, lane_streams=lane_streams
+        )
     fs = cfg.field
     L = fs.nlimbs
     t = cfg.t
@@ -281,7 +584,6 @@ def _monolith_kernel(rc_ref, state_ref, out_ref, *, cfg, lane_streams):
     one_plain = (1,) + (0,) * (L - 1)
     r2_limbs = tuple(int(v) for v in fs.int_to_limbs(fs.r2_mod_p))
     one_mont = tuple(int(v) for v in fs.int_to_limbs(fs.r_mod_p))
-    info = check_kernel_bounds(cfg)
     geo = info["geo"]
     folds = info["folds"]
     sq_norm = functools.partial(
@@ -434,12 +736,7 @@ def monolith_kernel_fn(
     L = fs.nlimbs
     t = cfg.t
     tile_lanes = sublanes * 128
-    rc_np = np.stack(
-        [
-            np.concatenate([fs.int_to_mont_limbs(c) for c in row])
-            for row in cfg.rc
-        ]
-    ).astype(np.int32)  # (R, t*L)
+    rc_np = monolith_rc_plane(cfg)  # (R, t*L), domain-matched to the kernel
 
     kernel = functools.partial(
         _monolith_kernel, cfg=cfg, lane_streams=lane_streams

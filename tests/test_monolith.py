@@ -276,9 +276,7 @@ def _run_monolith_kernel_body(cfg, B=256, stride=83, lane_streams=2):
     st4 = jnp.asarray(
         np.stack([fs.ints_to_mont_plane(r) for r in vals], axis=0)
     ).reshape(t, L, B // 128, 128)
-    rc_np = np.stack(
-        [np.concatenate([fs.int_to_mont_limbs(c) for c in row]) for row in cfg.rc]
-    ).astype(np.int32)
+    rc_np = pm.monolith_rc_plane(cfg)
 
     @jax.jit
     def run(rc, st):
@@ -311,12 +309,21 @@ def test_kernel_body_single_stream_and_bounds():
 
     _run_monolith_kernel_body(CFG_GL, lane_streams=1)
     # The scaled-Concrete paths produce bounds near R, so downstream sites
-    # carry static rho-folds; a Cauchy (dense) config stays < ~8p (0 folds).
+    # carry static rho-folds; a generic-path Cauchy (dense) config stays
+    # < ~8p (0 folds).  Mersenne-prime fields route to the canonical-domain
+    # kernel, whose shift-fold sites always carry folds.
     assert check_kernel_bounds(CFG_GL)["folds"]["conc"] >= 1
-    dense = generate_monolith_parameters(M31, rate=2, capacity=2, rounds=6, bars=2)
-    assert check_kernel_bounds(dense)["folds"] == {
+    dense_kb = generate_monolith_parameters(KB, rate=2, capacity=2, rounds=6, bars=2)
+    assert check_kernel_bounds(dense_kb)["rot"] is None
+    assert check_kernel_bounds(dense_kb)["folds"] == {
         "rc": 0, "sq": 0, "add": 0, "conc": 0,
     }
+    dense_m31 = generate_monolith_parameters(M31, rate=2, capacity=2, rounds=6, bars=2)
+    assert check_kernel_bounds(dense_m31)["rot"] == 5
+    assert check_kernel_bounds(dense_m31)["folds"] == {
+        "sq": 1, "add": 1, "conc": 2, "rc": 1,
+    }
+    _run_monolith_kernel_body(dense_m31, lane_streams=1, stride=29)
 
 
 def test_kernel_body_tiny_field():
@@ -362,3 +369,18 @@ def test_goldilocks_t8_paper_geometry():
         17604359482555244088,
     ]
     _run_monolith_kernel_body(cfg, stride=85)
+
+
+def test_mersenne_rotation_path_active():
+    """Over Mersenne primes the Montgomery form is a bit-rotation of the
+    canonical value, so the kernel runs the whole permutation REDC-free in
+    the canonical domain (rotations at the boundary); other fields take the
+    generic Montgomery-domain kernel."""
+    from sponge_tpu.ops.pallas_monolith import check_kernel_bounds, mersenne_rot_shift
+
+    assert mersenne_rot_shift(M31) == 5  # 2^36 mod (2^31 - 1) = 2^5
+    assert check_kernel_bounds(CFG_M31)["rot"] == 5
+    assert mersenne_rot_shift(KB) is None  # not a Mersenne prime
+    assert mersenne_rot_shift(GL) is None
+    fs = FieldSpec(name="tiny_m13", modulus=(1 << 13) - 1, generator=17)
+    assert mersenne_rot_shift(fs) == 11  # 2^24 mod (2^13 - 1) = 2^11
