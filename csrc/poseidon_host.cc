@@ -141,6 +141,7 @@ struct Poseidon2Tables {
 
 struct MonolithTables;
 struct RescueTables;
+struct GriffinTables;
 
 struct PoseidonCtx {
   FieldCtx64 f;
@@ -155,6 +156,7 @@ struct PoseidonCtx {
   const Poseidon2Tables* p2;      // non-null => Poseidon2 schedule
   const MonolithTables* mono;     // non-null => Monolith schedule
   const RescueTables* rescue;     // non-null => Rescue-Prime schedule
+  const GriffinTables* griffin;   // non-null => Griffin schedule
 };
 
 inline void one_round(const PoseidonCtx& c, int r, bool full, u64* st,
@@ -231,10 +233,11 @@ inline void partial_chain_opt(const PoseidonCtx& c, u64* st, u64* scratch) {
   std::memcpy(st, scratch, (size_t)t * NW * sizeof(u64));
 }
 
-// M_E . st via plain small-int scaling (representation-preserving).
-inline void p2_mat_e(const PoseidonCtx& c, u64* st, u64* scratch) {
+// st = mat . st for a small-plain-int matrix (representation-preserving);
+// shared by the Poseidon2 M_E and the Griffin linear layer.
+inline void small_mat_apply(const PoseidonCtx& c, const int32_t* m, u64* st,
+                            u64* scratch) {
   const int t = c.t;
-  const int32_t* m = c.p2->mat_e;
   for (int i = 0; i < t; ++i) {
     u64 acc[NW] = {0};
     for (int j = 0; j < t; ++j) {
@@ -245,6 +248,11 @@ inline void p2_mat_e(const PoseidonCtx& c, u64* st, u64* scratch) {
     std::memcpy(scratch + i * NW, acc, NW * sizeof(u64));
   }
   std::memcpy(st, scratch, (size_t)t * NW * sizeof(u64));
+}
+
+// M_E . st via plain small-int scaling.
+inline void p2_mat_e(const PoseidonCtx& c, u64* st, u64* scratch) {
+  small_mat_apply(c, c.p2->mat_e, st, scratch);
 }
 
 // Poseidon2 permutation (ePrint 2023/323): initial M_E, R_F/2 external rounds
@@ -432,7 +440,59 @@ inline void permute_one_rescue(const PoseidonCtx& c, u64* st, u64* scratch) {
   }
 }
 
+// Griffin tables (ePrint 2022/403 structure; see sponge_tpu/griffin).
+struct GriffinTables {
+  const u64* rc;         // ((rounds-1) * t * NW) words, Montgomery
+  const int32_t* mat_e;  // (t * t) small plain ints (Poseidon2's matrices)
+  const u64* qa;         // ((t-2) * NW) words: alpha_i, Montgomery
+  const u64* qb;         // ((t-2) * NW) words: beta_i, Montgomery
+  const u64* inv_alpha;  // (NW) words: plain exponent 1/alpha mod (p-1)
+  const u64* one_mont;   // (NW) words: Montgomery form of 1
+  int32_t rounds;
+};
+
+// Griffin-pi permutation (ePrint 2022/403; structure documented in
+// sponge_tpu/griffin/config.py): initial linear layer, then R rounds of
+// nonlinear layer (y0 = x0^(1/d), y1 = x1^d, quadratic-gated multiplicative
+// elements reading the ORIGINAL x_{i-1}) / linear layer / rc add (except the
+// last round).
+inline void permute_one_griffin(const PoseidonCtx& c, u64* st, u64* scratch) {
+  const int t = c.t;
+  const GriffinTables& g = *c.griffin;
+
+  small_mat_apply(c, g.mat_e, st, scratch);
+  for (int r = 0; r < g.rounds; ++r) {
+    u64 y0[NW], y1[NW];
+    mont_pow_wide(c.f, st, g.inv_alpha, NW, g.one_mont, y0);
+    mont_pow(c.f, st + NW, c.alpha, y1);
+    std::memcpy(scratch, y0, sizeof(y0));
+    std::memcpy(scratch + NW, y1, sizeof(y1));
+    for (int i = 2; i < t; ++i) {
+      u64 li[NW];
+      mont_small_scale(c.f, y0, (uint32_t)(i - 1), li);
+      mont_add(c.f, li, y1, li);
+      if (i >= 3) mont_add(c.f, li, st + (int64_t)(i - 1) * NW, li);
+      u64 sq[NW], al[NW];
+      mont_mul(c.f, li, li, sq);
+      mont_mul(c.f, li, g.qa + (int64_t)(i - 2) * NW, al);
+      mont_add(c.f, sq, al, sq);
+      mont_add(c.f, sq, g.qb + (int64_t)(i - 2) * NW, sq);
+      mont_mul(c.f, st + (int64_t)i * NW, sq, scratch + (int64_t)i * NW);
+    }
+    std::memcpy(st, scratch, (size_t)t * NW * sizeof(u64));
+    small_mat_apply(c, g.mat_e, st, scratch);
+    if (r < g.rounds - 1)
+      for (int e = 0; e < t; ++e)
+        mont_add(c.f, st + e * NW, g.rc + ((int64_t)r * t + e) * NW,
+                 st + e * NW);
+  }
+}
+
 inline void permute_one(const PoseidonCtx& c, u64* st, u64* scratch) {
+  if (c.griffin != nullptr) {
+    permute_one_griffin(c, st, scratch);
+    return;
+  }
   if (c.rescue != nullptr) {
     permute_one_rescue(c, st, scratch);
     return;
@@ -463,7 +523,8 @@ inline PoseidonCtx make_ctx(const u64* fctx, int32_t t, int32_t alpha,
                             const u64* ark, const u64* mds, const u64* opt,
                             const Poseidon2Tables* p2,
                             const MonolithTables* mono = nullptr,
-                            const RescueTables* rescue = nullptr) {
+                            const RescueTables* rescue = nullptr,
+                            const GriffinTables* griffin = nullptr) {
   PoseidonCtx c;
   std::memcpy(c.f.p, fctx, NW * sizeof(u64));
   c.f.n0inv = fctx[NW];
@@ -477,6 +538,7 @@ inline PoseidonCtx make_ctx(const u64* fctx, int32_t t, int32_t alpha,
   c.p2 = p2;
   c.mono = mono;
   c.rescue = rescue;
+  c.griffin = griffin;
   return c;
 }
 
@@ -708,6 +770,34 @@ void rescue_sponge_run(const u64* fctx, int32_t t, int32_t alpha,
   RescueTables rt{rc, mds, inv_alpha, one_mont, rounds};
   PoseidonCtx c = make_ctx(fctx, t, alpha, 0, 0, nullptr, nullptr, nullptr,
                            nullptr, nullptr, &rt);
+  sponge_run(c, rate, capacity, steps, n_steps, elems, out, state_io, bk);
+}
+
+// Griffin entries (ePrint 2022/403 structure).  rc: (rounds-1) * t elements
+// (Montgomery); mat_e: t*t small plain int32 (Poseidon2's matrices); qa/qb:
+// t-2 elements each (Montgomery alpha_i/beta_i); inv_alpha: 4 u64 LE plain
+// exponent words (1/alpha mod p-1); one_mont: Montgomery form of 1.
+void griffin_permute_host(const u64* fctx, int32_t t, int32_t alpha,
+                          int32_t rounds, const u64* rc, const int32_t* mat_e,
+                          const u64* qa, const u64* qb, const u64* inv_alpha,
+                          const u64* one_mont, u64* states, int64_t n,
+                          int32_t n_threads) {
+  GriffinTables g{rc, mat_e, qa, qb, inv_alpha, one_mont, rounds};
+  PoseidonCtx c = make_ctx(fctx, t, alpha, 0, 0, nullptr, nullptr, nullptr,
+                           nullptr, nullptr, nullptr, &g);
+  batch_permute(c, states, n, n_threads);
+}
+
+void griffin_sponge_run(const u64* fctx, int32_t t, int32_t alpha,
+                        int32_t rounds, int32_t rate, int32_t capacity,
+                        const u64* rc, const int32_t* mat_e, const u64* qa,
+                        const u64* qb, const u64* inv_alpha,
+                        const u64* one_mont, const int32_t* steps,
+                        int64_t n_steps, const u64* elems, u64* out,
+                        u64* state_io, int32_t* bk) {
+  GriffinTables g{rc, mat_e, qa, qb, inv_alpha, one_mont, rounds};
+  PoseidonCtx c = make_ctx(fctx, t, alpha, 0, 0, nullptr, nullptr, nullptr,
+                           nullptr, nullptr, nullptr, &g);
   sponge_run(c, rate, capacity, steps, n_steps, elems, out, state_io, bk);
 }
 

@@ -78,8 +78,15 @@ from .monolith import (
     generate_monolith_parameters,
     get_default_monolith_parameters,
 )
+from .griffin import (
+    GriffinConfig,
+    OracleGriffinSponge,
+    generate_griffin_parameters,
+    get_default_griffin_parameters,
+)
 from .lazy import LazyPoseidonSponge
 from .poseidon.host import (
+    HostGriffinSponge,
     HostMonolithSponge,
     HostPoseidon2Sponge,
     HostRescueSponge,
@@ -116,6 +123,7 @@ __all__ = [
     "PoseidonSponge",
     "LazyPoseidonSponge",
     "HostPoseidonSponge",
+    "HostGriffinSponge",
     "HostMonolithSponge",
     "HostPoseidon2Sponge",
     "HostRescueSponge",
@@ -131,6 +139,10 @@ __all__ = [
     "OracleMonolithSponge",
     "generate_monolith_parameters",
     "get_default_monolith_parameters",
+    "GriffinConfig",
+    "OracleGriffinSponge",
+    "generate_griffin_parameters",
+    "get_default_griffin_parameters",
     "host_available",
     "host_run_schedule",
     "Batched",

@@ -153,6 +153,51 @@ def _is_rescue(cfg) -> bool:
     return isinstance(cfg, RescueConfig)
 
 
+def _is_griffin(cfg) -> bool:
+    from ..griffin.config import GriffinConfig
+
+    return isinstance(cfg, GriffinConfig)
+
+
+@dataclass(frozen=True)
+class _HostTablesG:
+    """Per-config native Griffin constants (csrc GriffinTables layout)."""
+
+    fctx: np.ndarray      # (5,) u64: p (4 LE words) + n0inv
+    rc: np.ndarray        # ((rounds-1)*t*4,) u64, Montgomery (dummy if empty)
+    mat_e: np.ndarray     # (t*t,) int32 small plain ints
+    qa: np.ndarray        # ((t-2)*4,) u64, Montgomery alpha_i
+    qb: np.ndarray        # ((t-2)*4,) u64, Montgomery beta_i
+    inv_alpha: np.ndarray  # (4,) u64 LE: plain exponent 1/alpha mod (p-1)
+    one_mont: np.ndarray  # (4,) u64: Montgomery form of 1
+
+
+@functools.lru_cache(maxsize=32)
+def _tablesg(cfg) -> _HostTablesG:
+    p = cfg.field.modulus
+    fctx = np.zeros(5, dtype=np.uint64)
+    fctx[0:4] = np.frombuffer(p.to_bytes(32, "little"), dtype=np.uint64)
+    fctx[4] = (-pow(p, -1, 1 << 64)) % (1 << 64)
+    rc_flat = [a for row in cfg.rc for a in row]
+    rc = _to_mont_words(p, rc_flat or [0]).reshape(-1)
+    mat_e = np.ascontiguousarray(
+        np.asarray(cfg.mat_e, dtype=np.int32).reshape(-1)
+    )
+    coeffs = [cfg.quad_coeffs(i) for i in range(2, cfg.t)]
+    qa = _to_mont_words(p, [a for a, _ in coeffs]).reshape(-1)
+    qb = _to_mont_words(p, [b for _, b in coeffs]).reshape(-1)
+    inv_alpha = np.ascontiguousarray(
+        np.frombuffer(cfg.inv_alpha.to_bytes(32, "little"), dtype=np.uint64)
+    )
+    one_mont = np.ascontiguousarray(
+        np.frombuffer((_R % p).to_bytes(32, "little"), dtype=np.uint64)
+    )
+    return _HostTablesG(
+        fctx=fctx, rc=rc, mat_e=mat_e, qa=qa, qb=qb,
+        inv_alpha=inv_alpha, one_mont=one_mont,
+    )
+
+
 @dataclass(frozen=True)
 class _HostTablesR:
     """Per-config native Rescue-Prime constants (csrc RescueTables layout)."""
@@ -217,7 +262,16 @@ def _call_permute(lib, cfg, plane: np.ndarray, n: int, n_threads: int,
     it on per-permute hot paths to skip the lru_cache lookup, which hashes the
     whole config (63x3 bigint ark tuple) and costs ~4% of a native permute.
     """
-    if _is_rescue(cfg):
+    if _is_griffin(cfg):
+        tab = tab if tab is not None else _tablesg(cfg)
+        lib.griffin_permute_host(
+            tab.fctx.ctypes.data, cfg.t, cfg.alpha, cfg.rounds,
+            tab.rc.ctypes.data, tab.mat_e.ctypes.data,
+            tab.qa.ctypes.data, tab.qb.ctypes.data,
+            tab.inv_alpha.ctypes.data, tab.one_mont.ctypes.data,
+            plane.ctypes.data, n, n_threads,
+        )
+    elif _is_rescue(cfg):
         tab = tab if tab is not None else _tablesr(cfg)
         lib.rescue_permute_host(
             tab.fctx.ctypes.data, cfg.t, cfg.alpha, cfg.rounds,
@@ -315,7 +369,9 @@ class HostPoseidonSponge(OraclePoseidonSponge):
         # Resolve tables/lib once: hashing the config (63x3 bigint ark tuple)
         # per permute would cost a measurable fraction of the permutation.
         if self._native:
-            if _is_rescue(cfg):
+            if _is_griffin(cfg):
+                self._tab = _tablesg(cfg)
+            elif _is_rescue(cfg):
                 self._tab = _tablesr(cfg)
             elif _is_monolith(cfg):
                 self._tab = _tablesm(cfg)
@@ -345,6 +401,7 @@ class HostPoseidonSponge(OraclePoseidonSponge):
         return new
 
 
+from ..griffin.oracle import OracleGriffinSponge  # noqa: E402
 from ..monolith.oracle import OracleMonolithSponge  # noqa: E402
 from ..poseidon2.oracle import OraclePoseidon2Sponge  # noqa: E402
 from ..rescue.oracle import OracleRescueSponge  # noqa: E402
@@ -366,6 +423,10 @@ class HostMonolithSponge(HostPoseidonSponge, OracleMonolithSponge):
 
 class HostRescueSponge(HostPoseidonSponge, OracleRescueSponge):
     """The Rescue-Prime oracle with the native permute (same MRO pattern)."""
+
+
+class HostGriffinSponge(HostPoseidonSponge, OracleGriffinSponge):
+    """The Griffin oracle with the native permute (same MRO pattern)."""
 
 
 _MODE_CODE = {ABSORBING: 0, SQUEEZING: 1}
@@ -418,7 +479,18 @@ def host_run_schedule(cfg, steps, elems, state: SpongeState = None):
     st = np.ascontiguousarray(_to_mont_words(p, state.state))
     bk = np.array([_MODE_CODE[state.mode], state.index], dtype=np.int32)
 
-    if _is_rescue(cfg):
+    if _is_griffin(cfg):
+        tab = _tablesg(cfg)
+        lib.griffin_sponge_run(
+            tab.fctx.ctypes.data, cfg.t, cfg.alpha, cfg.rounds,
+            cfg.rate, cfg.capacity,
+            tab.rc.ctypes.data, tab.mat_e.ctypes.data,
+            tab.qa.ctypes.data, tab.qb.ctypes.data,
+            tab.inv_alpha.ctypes.data, tab.one_mont.ctypes.data,
+            step_arr.ctypes.data, len(steps),
+            ein.ctypes.data, out.ctypes.data, st.ctypes.data, bk.ctypes.data,
+        )
+    elif _is_rescue(cfg):
         tab = _tablesr(cfg)
         lib.rescue_sponge_run(
             tab.fctx.ctypes.data, cfg.t, cfg.alpha, cfg.rounds,

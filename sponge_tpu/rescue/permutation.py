@@ -99,7 +99,9 @@ def _device_constants(cfg: RescueConfig):
 _WINDOW_BITS = 4
 
 
-def _pow_ladder(fs, x: jnp.ndarray, exponent: int) -> jnp.ndarray:
+def pow_ladder(
+    fs, x: jnp.ndarray, exponent: int, value_safe: bool = False
+) -> jnp.ndarray:
     """x^exponent on Montgomery planes via a fixed-window ladder.
 
     For small exponents (the forward S-box) the unrolled chain in
@@ -112,10 +114,19 @@ def _pow_ladder(fs, x: jnp.ndarray, exponent: int) -> jnp.ndarray:
     products than the select-every-bit ladder it replaced — while the traced
     graph stays one small loop body (an unrolled chain of ~300 multiplies
     pushed XLA compile time past 10 minutes on CPU).
+
+    ``value_safe=True`` routes every product through the top-carry
+    rho-folding multiply (``mont.mont_mul_fold``), making the ladder exact
+    for inputs with values up to R at any R/p headroom (the discipline the
+    Griffin tier uses); the default plain multiply relies on the caller's
+    < 4p value bound (Rescue's gate, ``check_rescue_value_bounds``).
     """
+    mul = mont.mont_mul_fold if value_safe else mont.mont_mul
     bits = bin(exponent)[2:]
     if len(bits) <= 12:
-        return mont.mont_pow(fs, x, exponent)
+        return (mont.mont_pow_fold if value_safe else mont.mont_pow)(
+            fs, x, exponent
+        )
     w = _WINDOW_BITS
     pad = (-len(bits)) % w
     bits = "0" * pad + bits
@@ -127,16 +138,20 @@ def _pow_ladder(fs, x: jnp.ndarray, exponent: int) -> jnp.ndarray:
     )
     entries = [one, x]
     for _ in range(2, 1 << w):
-        entries.append(mont.mont_mul(fs, entries[-1], x))
+        entries.append(mul(fs, entries[-1], x))
     table = jnp.stack(entries, axis=0)  # (16, t, L, B)
 
     def body(i, acc):
         for _ in range(w):
-            acc = mont.mont_mul(fs, acc, acc)
+            acc = mul(fs, acc, acc)
         entry = jax.lax.dynamic_index_in_dim(table, digits[i], 0, keepdims=False)
-        return mont.mont_mul(fs, acc, entry)
+        return mul(fs, acc, entry)
 
     return jax.lax.fori_loop(1, len(digits_host), body, table[digits_host[0]])
+
+
+# Backwards-compatible private alias (pre-Griffin name).
+_pow_ladder = pow_ladder
 
 
 def _mds_rc(fs, mds, state, rc_row):
@@ -159,9 +174,9 @@ def rescue_permute(cfg: RescueConfig, state: jnp.ndarray) -> jnp.ndarray:
     inv_alpha = cfg.inv_alpha
 
     def round_body(r, st):
-        st = _pow_ladder(fs, st, cfg.alpha)
+        st = pow_ladder(fs, st, cfg.alpha)
         st = _mds_rc(fs, mds, st, rc[2 * r])
-        st = _pow_ladder(fs, st, inv_alpha)
+        st = pow_ladder(fs, st, inv_alpha)
         return _mds_rc(fs, mds, st, rc[2 * r + 1])
 
     return jax.lax.fori_loop(0, cfg.rounds, round_body, state)
