@@ -91,6 +91,26 @@ inline void mont_add(const FieldCtx64& f, const u64* a, const u64* b, u64* out) 
   for (int j = 0; j < NW; ++j) out[j] = ge_p ? res[j] : s[j];
 }
 
+// out = a - b mod p (both < p).
+inline void mont_sub(const FieldCtx64& f, const u64* a, const u64* b, u64* out) {
+  u64 d[NW];
+  u128 borrow = 0;
+  for (int j = 0; j < NW; ++j) {
+    u128 cur = (u128)a[j] - b[j] - borrow;
+    d[j] = (u64)cur;
+    borrow = (cur >> 127) & 1;
+  }
+  if (borrow) {  // wrapped below zero: add p back
+    u128 carry = 0;
+    for (int j = 0; j < NW; ++j) {
+      u128 cur = (u128)d[j] + f.p[j] + carry;
+      d[j] = (u64)cur;
+      carry = cur >> 64;
+    }
+  }
+  std::memcpy(out, d, sizeof(d));
+}
+
 // out = x^alpha (MSB-first square-and-multiply; alpha is small and static).
 inline void mont_pow(const FieldCtx64& f, const u64* x, uint32_t alpha, u64* out) {
   u64 acc[NW];
@@ -142,6 +162,7 @@ struct Poseidon2Tables {
 struct MonolithTables;
 struct RescueTables;
 struct GriffinTables;
+struct AnemoiTables;
 
 struct PoseidonCtx {
   FieldCtx64 f;
@@ -157,6 +178,7 @@ struct PoseidonCtx {
   const MonolithTables* mono;     // non-null => Monolith schedule
   const RescueTables* rescue;     // non-null => Rescue-Prime schedule
   const GriffinTables* griffin;   // non-null => Griffin schedule
+  const AnemoiTables* anemoi;     // non-null => Anemoi schedule
 };
 
 inline void one_round(const PoseidonCtx& c, int r, bool full, u64* st,
@@ -488,7 +510,87 @@ inline void permute_one_griffin(const PoseidonCtx& c, u64* st, u64* scratch) {
   }
 }
 
+// Anemoi tables (ePrint 2022/840 structure; see sponge_tpu/anemoi).
+// State is two columns X = st[0..l), Y = st[l..2l); the open Flystel mixes
+// one wide inverse power map with two quadratics in the generator g.
+struct AnemoiTables {
+  const u64* rc_x;       // (rounds * l * NW) words, Montgomery
+  const u64* rc_y;       // (rounds * l * NW) words, Montgomery
+  const u64* mat;        // (l * l * NW) words, Montgomery (identity at l=1)
+  const u64* g;          // (NW) words: Montgomery g
+  const u64* g_inv;      // (NW) words: Montgomery g^{-1}
+  const u64* inv_alpha;  // (NW) words: plain exponent 1/alpha mod (p-1)
+  const u64* one_mont;   // (NW) words: Montgomery form of 1
+  int32_t rounds;
+};
+
+// Diffusion: M_x on X, M_x on rot-left-1(Y), then the PHT Y += X; X += Y.
+inline void anemoi_diffusion(const PoseidonCtx& c, u64* st, u64* scratch) {
+  const AnemoiTables& a = *c.anemoi;
+  const int l = c.t / 2;
+  if (l > 1) {
+    // rotate Y left by 1 into scratch, then multiply both columns by M_x.
+    for (int j = 0; j < l; ++j)
+      std::memcpy(scratch + j * NW, st + (l + (j + 1) % l) * NW,
+                  NW * sizeof(u64));
+    std::memcpy(st + l * NW, scratch, (size_t)l * NW * sizeof(u64));
+    for (int col = 0; col < 2; ++col) {
+      u64* v = st + col * l * NW;
+      for (int i = 0; i < l; ++i) {
+        u64 acc[NW] = {0};
+        for (int j = 0; j < l; ++j) {
+          u64 prod[NW];
+          mont_mul(c.f, a.mat + ((int64_t)i * l + j) * NW, v + j * NW, prod);
+          mont_add(c.f, acc, prod, acc);
+        }
+        std::memcpy(scratch + i * NW, acc, NW * sizeof(u64));
+      }
+      std::memcpy(v, scratch, (size_t)l * NW * sizeof(u64));
+    }
+  }
+  for (int j = 0; j < l; ++j)
+    mont_add(c.f, st + (l + j) * NW, st + j * NW, st + (l + j) * NW);
+  for (int j = 0; j < l; ++j)
+    mont_add(c.f, st + j * NW, st + (l + j) * NW, st + j * NW);
+}
+
+// Anemoi permutation: per round, constants -> diffusion -> open Flystel on
+// each (x_j, y_j) pair; one extra diffusion closes the permutation.
+inline void permute_one_anemoi(const PoseidonCtx& c, u64* st, u64* scratch) {
+  const AnemoiTables& a = *c.anemoi;
+  const int l = c.t / 2;
+  for (int r = 0; r < a.rounds; ++r) {
+    for (int j = 0; j < l; ++j) {
+      mont_add(c.f, st + j * NW, a.rc_x + ((int64_t)r * l + j) * NW,
+               st + j * NW);
+      mont_add(c.f, st + (l + j) * NW, a.rc_y + ((int64_t)r * l + j) * NW,
+               st + (l + j) * NW);
+    }
+    anemoi_diffusion(c, st, scratch);
+    for (int j = 0; j < l; ++j) {
+      u64* x = st + j * NW;
+      u64* y = st + (l + j) * NW;
+      u64 q[NW], u[NW], v[NW];
+      mont_mul(c.f, y, y, q);
+      mont_mul(c.f, q, a.g, q);
+      mont_add(c.f, q, a.g_inv, q);
+      mont_sub(c.f, x, q, u);  // u = x - (g*y^2 + g^-1)
+      mont_pow_wide(c.f, u, a.inv_alpha, NW, a.one_mont, q);
+      mont_sub(c.f, y, q, v);  // v = y - u^(1/alpha)
+      mont_mul(c.f, v, v, q);
+      mont_mul(c.f, q, a.g, q);
+      mont_add(c.f, u, q, x);  // w = u + g*v^2
+      std::memcpy(y, v, NW * sizeof(u64));
+    }
+  }
+  anemoi_diffusion(c, st, scratch);
+}
+
 inline void permute_one(const PoseidonCtx& c, u64* st, u64* scratch) {
+  if (c.anemoi != nullptr) {
+    permute_one_anemoi(c, st, scratch);
+    return;
+  }
   if (c.griffin != nullptr) {
     permute_one_griffin(c, st, scratch);
     return;
@@ -524,7 +626,8 @@ inline PoseidonCtx make_ctx(const u64* fctx, int32_t t, int32_t alpha,
                             const Poseidon2Tables* p2,
                             const MonolithTables* mono = nullptr,
                             const RescueTables* rescue = nullptr,
-                            const GriffinTables* griffin = nullptr) {
+                            const GriffinTables* griffin = nullptr,
+                            const AnemoiTables* anemoi = nullptr) {
   PoseidonCtx c;
   std::memcpy(c.f.p, fctx, NW * sizeof(u64));
   c.f.n0inv = fctx[NW];
@@ -539,6 +642,7 @@ inline PoseidonCtx make_ctx(const u64* fctx, int32_t t, int32_t alpha,
   c.mono = mono;
   c.rescue = rescue;
   c.griffin = griffin;
+  c.anemoi = anemoi;
   return c;
 }
 
@@ -770,6 +874,34 @@ void rescue_sponge_run(const u64* fctx, int32_t t, int32_t alpha,
   RescueTables rt{rc, mds, inv_alpha, one_mont, rounds};
   PoseidonCtx c = make_ctx(fctx, t, alpha, 0, 0, nullptr, nullptr, nullptr,
                            nullptr, nullptr, &rt);
+  sponge_run(c, rate, capacity, steps, n_steps, elems, out, state_io, bk);
+}
+
+// Anemoi entries (ePrint 2022/840 structure).  rc_x/rc_y: rounds * l
+// elements each (Montgomery); mat: l*l elements (Montgomery; identity at
+// l=1); g/g_inv: one element each (Montgomery); inv_alpha: 4 u64 LE plain
+// exponent words (1/alpha mod p-1); one_mont: Montgomery form of 1.
+void anemoi_permute_host(const u64* fctx, int32_t t, int32_t alpha,
+                         int32_t rounds, const u64* rc_x, const u64* rc_y,
+                         const u64* mat, const u64* g, const u64* g_inv,
+                         const u64* inv_alpha, const u64* one_mont,
+                         u64* states, int64_t n, int32_t n_threads) {
+  AnemoiTables a{rc_x, rc_y, mat, g, g_inv, inv_alpha, one_mont, rounds};
+  PoseidonCtx c = make_ctx(fctx, t, alpha, 0, 0, nullptr, nullptr, nullptr,
+                           nullptr, nullptr, nullptr, nullptr, &a);
+  batch_permute(c, states, n, n_threads);
+}
+
+void anemoi_sponge_run(const u64* fctx, int32_t t, int32_t alpha,
+                       int32_t rounds, int32_t rate, int32_t capacity,
+                       const u64* rc_x, const u64* rc_y, const u64* mat,
+                       const u64* g, const u64* g_inv, const u64* inv_alpha,
+                       const u64* one_mont, const int32_t* steps,
+                       int64_t n_steps, const u64* elems, u64* out,
+                       u64* state_io, int32_t* bk) {
+  AnemoiTables a{rc_x, rc_y, mat, g, g_inv, inv_alpha, one_mont, rounds};
+  PoseidonCtx c = make_ctx(fctx, t, alpha, 0, 0, nullptr, nullptr, nullptr,
+                           nullptr, nullptr, nullptr, nullptr, &a);
   sponge_run(c, rate, capacity, steps, n_steps, elems, out, state_io, bk);
 }
 

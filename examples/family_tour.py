@@ -1,4 +1,4 @@
-"""One sponge API, five permutation families, seven fields.
+"""One sponge API, six permutation families, seven fields.
 
 Everything above the permutation — the duplex sponge, the absorb codec,
 transcripts, Merkle trees, checkpointing, sharding — is config-agnostic:
@@ -28,6 +28,7 @@ from sponge_tpu import (
     Fp,
     PoseidonSponge,
     U64,
+    get_default_anemoi_parameters,
     get_default_griffin_parameters,
     get_default_monolith_parameters,
     get_default_poseidon2_parameters,
@@ -42,6 +43,7 @@ CONFIGS = [
     ("Rescue-Prime / Mersenne31", get_default_rescue_parameters(MERSENNE31_FR, 8)),
     ("Monolith / Goldilocks", get_default_monolith_parameters(GOLDILOCKS_FR)),
     ("Griffin / Goldilocks", get_default_griffin_parameters(GOLDILOCKS_FR, 4)),
+    ("Anemoi / Goldilocks", get_default_anemoi_parameters(GOLDILOCKS_FR, 4)),
 ]
 
 print("backend:", jax.default_backend())

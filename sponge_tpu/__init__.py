@@ -84,8 +84,15 @@ from .griffin import (
     generate_griffin_parameters,
     get_default_griffin_parameters,
 )
+from .anemoi import (
+    AnemoiConfig,
+    OracleAnemoiSponge,
+    generate_anemoi_parameters,
+    get_default_anemoi_parameters,
+)
 from .lazy import LazyPoseidonSponge
 from .poseidon.host import (
+    HostAnemoiSponge,
     HostGriffinSponge,
     HostMonolithSponge,
     HostPoseidon2Sponge,
@@ -123,6 +130,7 @@ __all__ = [
     "PoseidonSponge",
     "LazyPoseidonSponge",
     "HostPoseidonSponge",
+    "HostAnemoiSponge",
     "HostGriffinSponge",
     "HostMonolithSponge",
     "HostPoseidon2Sponge",
@@ -143,6 +151,10 @@ __all__ = [
     "OracleGriffinSponge",
     "generate_griffin_parameters",
     "get_default_griffin_parameters",
+    "AnemoiConfig",
+    "OracleAnemoiSponge",
+    "generate_anemoi_parameters",
+    "get_default_anemoi_parameters",
     "host_available",
     "host_run_schedule",
     "Batched",

@@ -159,6 +159,49 @@ def _is_griffin(cfg) -> bool:
     return isinstance(cfg, GriffinConfig)
 
 
+def _is_anemoi(cfg) -> bool:
+    from ..anemoi.config import AnemoiConfig
+
+    return isinstance(cfg, AnemoiConfig)
+
+
+@dataclass(frozen=True)
+class _HostTablesA:
+    """Per-config native Anemoi constants (csrc AnemoiTables layout)."""
+
+    fctx: np.ndarray      # (5,) u64: p (4 LE words) + n0inv
+    rc_x: np.ndarray      # (rounds*l*4,) u64, Montgomery
+    rc_y: np.ndarray      # (rounds*l*4,) u64, Montgomery
+    mat: np.ndarray       # (l*l*4,) u64, Montgomery
+    g: np.ndarray         # (4,) u64, Montgomery
+    g_inv: np.ndarray     # (4,) u64, Montgomery
+    inv_alpha: np.ndarray  # (4,) u64 LE: plain exponent 1/alpha mod (p-1)
+    one_mont: np.ndarray  # (4,) u64: Montgomery form of 1
+
+
+@functools.lru_cache(maxsize=32)
+def _tablesa(cfg) -> _HostTablesA:
+    p = cfg.field.modulus
+    fctx = np.zeros(5, dtype=np.uint64)
+    fctx[0:4] = np.frombuffer(p.to_bytes(32, "little"), dtype=np.uint64)
+    fctx[4] = (-pow(p, -1, 1 << 64)) % (1 << 64)
+    rc_x = _to_mont_words(p, [a for row in cfg.rc_x for a in row]).reshape(-1)
+    rc_y = _to_mont_words(p, [a for row in cfg.rc_y for a in row]).reshape(-1)
+    mat = _to_mont_words(p, [m for row in cfg.mat_x for m in row]).reshape(-1)
+    g = _to_mont_words(p, [cfg.g]).reshape(-1)
+    g_inv = _to_mont_words(p, [cfg.g_inv]).reshape(-1)
+    inv_alpha = np.ascontiguousarray(
+        np.frombuffer(cfg.inv_alpha.to_bytes(32, "little"), dtype=np.uint64)
+    )
+    one_mont = np.ascontiguousarray(
+        np.frombuffer((_R % p).to_bytes(32, "little"), dtype=np.uint64)
+    )
+    return _HostTablesA(
+        fctx=fctx, rc_x=rc_x, rc_y=rc_y, mat=mat, g=g, g_inv=g_inv,
+        inv_alpha=inv_alpha, one_mont=one_mont,
+    )
+
+
 @dataclass(frozen=True)
 class _HostTablesG:
     """Per-config native Griffin constants (csrc GriffinTables layout)."""
@@ -262,7 +305,16 @@ def _call_permute(lib, cfg, plane: np.ndarray, n: int, n_threads: int,
     it on per-permute hot paths to skip the lru_cache lookup, which hashes the
     whole config (63x3 bigint ark tuple) and costs ~4% of a native permute.
     """
-    if _is_griffin(cfg):
+    if _is_anemoi(cfg):
+        tab = tab if tab is not None else _tablesa(cfg)
+        lib.anemoi_permute_host(
+            tab.fctx.ctypes.data, cfg.t, cfg.alpha, cfg.rounds,
+            tab.rc_x.ctypes.data, tab.rc_y.ctypes.data, tab.mat.ctypes.data,
+            tab.g.ctypes.data, tab.g_inv.ctypes.data,
+            tab.inv_alpha.ctypes.data, tab.one_mont.ctypes.data,
+            plane.ctypes.data, n, n_threads,
+        )
+    elif _is_griffin(cfg):
         tab = tab if tab is not None else _tablesg(cfg)
         lib.griffin_permute_host(
             tab.fctx.ctypes.data, cfg.t, cfg.alpha, cfg.rounds,
@@ -369,7 +421,9 @@ class HostPoseidonSponge(OraclePoseidonSponge):
         # Resolve tables/lib once: hashing the config (63x3 bigint ark tuple)
         # per permute would cost a measurable fraction of the permutation.
         if self._native:
-            if _is_griffin(cfg):
+            if _is_anemoi(cfg):
+                self._tab = _tablesa(cfg)
+            elif _is_griffin(cfg):
                 self._tab = _tablesg(cfg)
             elif _is_rescue(cfg):
                 self._tab = _tablesr(cfg)
@@ -401,6 +455,7 @@ class HostPoseidonSponge(OraclePoseidonSponge):
         return new
 
 
+from ..anemoi.oracle import OracleAnemoiSponge  # noqa: E402
 from ..griffin.oracle import OracleGriffinSponge  # noqa: E402
 from ..monolith.oracle import OracleMonolithSponge  # noqa: E402
 from ..poseidon2.oracle import OraclePoseidon2Sponge  # noqa: E402
@@ -427,6 +482,10 @@ class HostRescueSponge(HostPoseidonSponge, OracleRescueSponge):
 
 class HostGriffinSponge(HostPoseidonSponge, OracleGriffinSponge):
     """The Griffin oracle with the native permute (same MRO pattern)."""
+
+
+class HostAnemoiSponge(HostPoseidonSponge, OracleAnemoiSponge):
+    """The Anemoi oracle with the native permute (same MRO pattern)."""
 
 
 _MODE_CODE = {ABSORBING: 0, SQUEEZING: 1}
@@ -479,7 +538,18 @@ def host_run_schedule(cfg, steps, elems, state: SpongeState = None):
     st = np.ascontiguousarray(_to_mont_words(p, state.state))
     bk = np.array([_MODE_CODE[state.mode], state.index], dtype=np.int32)
 
-    if _is_griffin(cfg):
+    if _is_anemoi(cfg):
+        tab = _tablesa(cfg)
+        lib.anemoi_sponge_run(
+            tab.fctx.ctypes.data, cfg.t, cfg.alpha, cfg.rounds,
+            cfg.rate, cfg.capacity,
+            tab.rc_x.ctypes.data, tab.rc_y.ctypes.data, tab.mat.ctypes.data,
+            tab.g.ctypes.data, tab.g_inv.ctypes.data,
+            tab.inv_alpha.ctypes.data, tab.one_mont.ctypes.data,
+            step_arr.ctypes.data, len(steps),
+            ein.ctypes.data, out.ctypes.data, st.ctypes.data, bk.ctypes.data,
+        )
+    elif _is_griffin(cfg):
         tab = _tablesg(cfg)
         lib.griffin_sponge_run(
             tab.fctx.ctypes.data, cfg.t, cfg.alpha, cfg.rounds,

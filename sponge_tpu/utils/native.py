@@ -196,6 +196,43 @@ def _build_poseidon() -> Optional[ctypes.CDLL]:
         ctypes.c_void_p,  # state_io
         ctypes.c_void_p,  # bk
     ]
+    lib.anemoi_permute_host.argtypes = [
+        ctypes.c_void_p,  # fctx
+        ctypes.c_int32,   # t
+        ctypes.c_int32,   # alpha
+        ctypes.c_int32,   # rounds
+        ctypes.c_void_p,  # rc_x (rounds*l*4 u64, Montgomery)
+        ctypes.c_void_p,  # rc_y (rounds*l*4 u64, Montgomery)
+        ctypes.c_void_p,  # mat (l*l*4 u64, Montgomery)
+        ctypes.c_void_p,  # g (4 u64, Montgomery)
+        ctypes.c_void_p,  # g_inv (4 u64, Montgomery)
+        ctypes.c_void_p,  # inv_alpha (4 u64 LE plain exponent)
+        ctypes.c_void_p,  # one_mont (4 u64: Montgomery 1)
+        ctypes.c_void_p,  # states (n*t*4 u64, in-place)
+        ctypes.c_int64,   # n
+        ctypes.c_int32,   # n_threads
+    ]
+    lib.anemoi_sponge_run.argtypes = [
+        ctypes.c_void_p,  # fctx
+        ctypes.c_int32,   # t
+        ctypes.c_int32,   # alpha
+        ctypes.c_int32,   # rounds
+        ctypes.c_int32,   # rate
+        ctypes.c_int32,   # capacity
+        ctypes.c_void_p,  # rc_x
+        ctypes.c_void_p,  # rc_y
+        ctypes.c_void_p,  # mat
+        ctypes.c_void_p,  # g
+        ctypes.c_void_p,  # g_inv
+        ctypes.c_void_p,  # inv_alpha
+        ctypes.c_void_p,  # one_mont
+        ctypes.c_void_p,  # steps
+        ctypes.c_int64,   # n_steps
+        ctypes.c_void_p,  # elems
+        ctypes.c_void_p,  # out
+        ctypes.c_void_p,  # state_io
+        ctypes.c_void_p,  # bk
+    ]
     lib.griffin_permute_host.argtypes = [
         ctypes.c_void_p,  # fctx
         ctypes.c_int32,   # t

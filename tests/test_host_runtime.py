@@ -332,3 +332,37 @@ def test_host_griffin_vs_oracle():
         o2 = OracleGriffinSponge(cfg)
         o2.absorb_field_elements(vals)
         assert sq == o2.squeeze_native_field_elements(3), fs.name
+
+
+def test_host_anemoi_vs_oracle():
+    """Native Anemoi (Flystel with wide-exponent ladder + mont_sub) vs
+    oracle, 255-bit t=2/t=4 and Goldilocks t=8."""
+    from sponge_tpu import GOLDILOCKS_FR, get_default_anemoi_parameters
+    from sponge_tpu.anemoi import OracleAnemoiSponge
+    from sponge_tpu.poseidon.host import HostAnemoiSponge, host_available
+
+    rng = np.random.default_rng(16)
+    for fs, rate in ((FR, 1), (FR, 3), (GOLDILOCKS_FR, 4)):
+        cfg = get_default_anemoi_parameters(fs, rate)
+        if not host_available(cfg):
+            pytest.skip("no C++ toolchain")
+        t = cfg.t
+        states = [int(v) % fs.modulus for v in rng.integers(0, 1 << 62, size=t)]
+        states[0] = 0
+        got = host_permute_states(cfg, states)
+        o = OracleAnemoiSponge(cfg)
+        o.state = list(states)
+        o.permute()
+        assert got == o.state, (fs.name, rate)
+        h = HostAnemoiSponge(cfg)
+        assert h._native
+        o = OracleAnemoiSponge(cfg)
+        vals = [int(v) % fs.modulus for v in rng.integers(0, 1 << 62, size=5)]
+        h.absorb_field_elements(vals)
+        o.absorb_field_elements(vals)
+        assert h.squeeze_native_field_elements(rate + 3) == \
+            o.squeeze_native_field_elements(rate + 3)
+        sq, _ = host_run_schedule(cfg, [("absorb", 5), ("squeeze", 3)], vals)
+        o2 = OracleAnemoiSponge(cfg)
+        o2.absorb_field_elements(vals)
+        assert sq == o2.squeeze_native_field_elements(3), (fs.name, rate)
