@@ -29,6 +29,7 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from sponge_tpu import (
+        BABYBEAR_FR,
         GOLDILOCKS_FR,
         KOALABEAR_FR,
         MERSENNE31_FR,
@@ -40,7 +41,7 @@ def main():
     lanes = 256
     rng = np.random.default_rng(1025)
     B = 1 << 20
-    for fs in (GOLDILOCKS_FR, MERSENNE31_FR, KOALABEAR_FR):
+    for fs in (GOLDILOCKS_FR, MERSENNE31_FR, KOALABEAR_FR, BABYBEAR_FR):
         cfg = get_default_monolith_parameters(fs)
         t = cfg.t
         vals = [

@@ -357,7 +357,10 @@ struct MonolithTables {
   const u64* r2;        // (NW) words: R^2 mod p (to-Montgomery factor)
   int32_t rounds;
   int32_t bars;     // u: leading elements through Bar each round
-  int32_t n_bits;   // modulus bit length (bar chunking: 8,8,...,rem)
+  int32_t n_bits;   // modulus bit length
+  int32_t bar_m;    // m of p = 2^n - 2^m + 1: extra chunk boundary when not
+                    // byte-aligned (0/1 = no extra boundary); mirrors
+                    // sponge_tpu/monolith/config.bar_chunks exactly
 };
 
 // The chi-like k-bit chunk S-box (config.chunk_sbox semantics).
@@ -373,15 +376,19 @@ inline u64 chi_chunk(u64 y, int k) {
   return rot(z, 1);
 }
 
-// Bar on a canonical value < p < 2^64: S-box each 8-bit chunk plus the
-// (n_bits % 8)-bit top chunk.
-inline u64 bar_u64(u64 x, int n_bits) {
+// Bar on a canonical value < p < 2^64: S-box 8-bit chunks with an extra
+// boundary at bar_m when it is not byte-aligned (the same chunk loop as
+// sponge_tpu/monolith/config.bar_chunks).
+inline u64 bar_u64(u64 x, int n_bits, int bar_m) {
   u64 out = 0;
   int bit = 0;
   while (bit < n_bits) {
-    const int k = (n_bits - bit >= 8) ? 8 : (n_bits - bit);
+    int next = (bit / 8 + 1) * 8;
+    if (next >= n_bits) next = n_bits;
+    if (bar_m > 1 && bit < bar_m && bar_m < next) next = bar_m;
+    const int k = next - bit;
     out |= chi_chunk((x >> bit) & ((1ull << k) - 1), k) << bit;
-    bit += k;
+    bit = next;
   }
   return out;
 }
@@ -413,7 +420,7 @@ inline void permute_one_monolith(const PoseidonCtx& c, u64* st, u64* scratch) {
     for (int e = 0; e < m.bars; ++e) {
       u64 plain[NW];
       mont_mul(c.f, st + e * NW, one_plain, plain);  // canonical < p < 2^64
-      plain[0] = bar_u64(plain[0], m.n_bits);
+      plain[0] = bar_u64(plain[0], m.n_bits, m.bar_m);
       mont_mul(c.f, plain, m.r2, st + e * NW);  // back to Montgomery
     }
     // Bricks: x_i += x_{i-1}^2 over the ORIGINAL values (parallel Feistel).
@@ -831,22 +838,23 @@ void poseidon2_sponge_run(const u64* fctx, int32_t t, int32_t alpha,
 // element (R^2 mod p); n_bits: modulus bit length (bar chunking).  The
 // caller guarantees the field is bar-safe with p < 2^64.
 void monolith_permute_host(const u64* fctx, int32_t t, int32_t rounds,
-                           int32_t bars, int32_t n_bits, const u64* rc,
-                           const u64* concrete, const u64* r2, u64* states,
-                           int64_t n, int32_t n_threads) {
-  MonolithTables m{rc, concrete, r2, rounds, bars, n_bits};
+                           int32_t bars, int32_t n_bits, int32_t bar_m,
+                           const u64* rc, const u64* concrete, const u64* r2,
+                           u64* states, int64_t n, int32_t n_threads) {
+  MonolithTables m{rc, concrete, r2, rounds, bars, n_bits, bar_m};
   PoseidonCtx c =
       make_ctx(fctx, t, 2, 0, 0, nullptr, nullptr, nullptr, nullptr, &m);
   batch_permute(c, states, n, n_threads);
 }
 
 void monolith_sponge_run(const u64* fctx, int32_t t, int32_t rounds,
-                         int32_t bars, int32_t n_bits, int32_t rate,
-                         int32_t capacity, const u64* rc, const u64* concrete,
-                         const u64* r2, const int32_t* steps, int64_t n_steps,
+                         int32_t bars, int32_t n_bits, int32_t bar_m,
+                         int32_t rate, int32_t capacity, const u64* rc,
+                         const u64* concrete, const u64* r2,
+                         const int32_t* steps, int64_t n_steps,
                          const u64* elems, u64* out, u64* state_io,
                          int32_t* bk) {
-  MonolithTables m{rc, concrete, r2, rounds, bars, n_bits};
+  MonolithTables m{rc, concrete, r2, rounds, bars, n_bits, bar_m};
   PoseidonCtx c =
       make_ctx(fctx, t, 2, 0, 0, nullptr, nullptr, nullptr, nullptr, &m);
   sponge_run(c, rate, capacity, steps, n_steps, elems, out, state_io, bk);

@@ -35,11 +35,25 @@ from ..fields import FieldSpec
 
 def bar_chunks(fs: FieldSpec) -> tuple:
     """Chunk widths (little-endian) of the Bar decomposition: 8-bit chunks
-    with one ``n mod 8``-bit top chunk (Monolith-31: 8,8,8,7; -64: 8 x 8)."""
+    with an extra boundary at ``m`` (p = 2^n - 2^m + 1) when m is not
+    byte-aligned — the range-preservation lemma of ``check_bar_field`` only
+    needs SOME boundary at m, not byte chunks (Monolith-31 over Mersenne31:
+    8,8,8,7; -64 over Goldilocks: 8 x 8; BabyBear's m = 27 splits the top
+    byte: 8,8,8,3,4).  The C++ host runtime's ``bar_u64`` mirrors this loop
+    exactly (csrc/poseidon_host.cc)."""
     n = fs.modulus_bit_size
-    chunks = [8] * (n // 8)
-    if n % 8:
-        chunks.append(n % 8)
+    d = (1 << n) + 1 - fs.modulus
+    m = d.bit_length() - 1 if d > 0 and d & (d - 1) == 0 else 0
+    chunks = []
+    bit = 0
+    while bit < n:
+        nxt = (bit // 8 + 1) * 8
+        if nxt >= n:
+            nxt = n
+        if m > 1 and bit < m < nxt:
+            nxt = m
+        chunks.append(nxt - bit)
+        bit = nxt
     return tuple(chunks)
 
 

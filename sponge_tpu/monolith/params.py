@@ -12,10 +12,10 @@ device path — small plain-integer entries, no REDC in the linear layer):
   (circ(1, 1, 2, 1, 8, 32, 2, 256, 4096, 8, 65536, 1024) — the plonky2-
   family t = 12 matrix shape), verified MDS by exhaustive minor check in
   ``tools/check_mds.py`` (225K rotation-unique minors).
-* 31-bit fields (Mersenne31, KoalaBear) use a small-integer circulant
-  (entries <= 31) found by the deterministic search in
+* 31-bit fields (Mersenne31, KoalaBear, BabyBear) use a small-integer
+  circulant (entries <= 31) found by the deterministic search in
   ``tools/check_mds.cc`` (xorshift64 seed 20230825, candidate 11) and
-  verified MDS over BOTH fields by the same exhaustive minor check
+  verified MDS over ALL THREE fields by the same exhaustive minor check
   (37.6M rotation-unique minors each).  Power-of-two circulants were ruled
   out over Mersenne31: ord(2) = 31 there, so 2x2 circulant minors
   2^(e_a+e_b) - 2^(e_c+e_d) vanish whenever exponent sums collide mod 31 —
@@ -56,8 +56,9 @@ from .config import MonolithConfig
 _GOLDILOCKS_T12_ROW = (1, 1, 2, 1, 8, 32, 2, 256, 4096, 8, 65536, 1024)
 
 # Small-integer circulant first row for the 31-bit t=16 instances; MDS over
-# both Mersenne31 and KoalaBear verified exhaustively by tools/check_mds.cc
-# (37.6M rotation-unique minors each; deterministic search seed 20230825).
+# Mersenne31, KoalaBear AND BabyBear, each verified exhaustively by
+# tools/check_mds.cc (37.6M rotation-unique minors per field; deterministic
+# search seed 20230825).
 _M31_T16_ROW = (31, 19, 21, 11, 5, 7, 9, 26, 9, 16, 23, 13, 30, 30, 17, 5)
 
 # Small-integer circulant for the 64-bit t=8 instance (the paper's other
@@ -108,7 +109,7 @@ def generate_monolith_parameters(
             concrete = _circulant(_GOLDILOCKS_T12_ROW)
         elif fs.name == "goldilocks_fr" and t == 8:
             concrete = _circulant(_GOLDILOCKS_T8_ROW)
-        elif fs.name in ("mersenne31_fr", "koalabear_fr") and t == 16:
+        elif fs.name in ("mersenne31_fr", "koalabear_fr", "babybear_fr") and t == 16:
             concrete = _circulant(_M31_T16_ROW)
         else:
             concrete = _cauchy_mds(lfsr, fs, t)
@@ -125,12 +126,17 @@ def generate_monolith_parameters(
 
 # (field, rate) -> (capacity, rounds, bars) — paper geometries: Monolith-64
 # t=12 and t=8 (u=4), Monolith-31 t=16 (u=8).  KoalaBear is bar-safe (m = 24
-# is a chunk boundary), so the 31-bit geometry extends to it.
+# is a chunk boundary), so the 31-bit geometry extends to it; BabyBear's
+# m = 27 is NOT byte-aligned, so ``bar_chunks`` splits the top byte
+# (8,8,8,3,4) — the range-preservation lemma needs only SOME boundary at m
+# (config.check_bar_field).  Both are in-repo extensions, not paper
+# instances (docs/SECURITY.md).
 _DEFAULTS = {
     ("goldilocks_fr", 8): (4, 6, 4),
     ("goldilocks_fr", 4): (4, 6, 4),
     ("mersenne31_fr", 8): (8, 6, 8),
     ("koalabear_fr", 8): (8, 6, 8),
+    ("babybear_fr", 8): (8, 6, 8),
 }
 
 
@@ -143,8 +149,8 @@ def get_default_monolith_parameters(fs: FieldSpec, rate: int = 8) -> MonolithCon
     if key not in _DEFAULTS:
         raise ValueError(
             f"no default Monolith parameters for {fs.name} at rate={rate}: "
-            f"the Bars layer requires p = 2^n - 2^m + 1 with chunk-aligned m "
-            f"(Goldilocks rates 4/8, Mersenne31 rate 8, KoalaBear rate 8)"
+            f"the Bars layer requires p = 2^n - 2^m + 1 (Goldilocks rates "
+            f"4/8; Mersenne31, KoalaBear, BabyBear rate 8)"
         )
     capacity, rounds, bars = _DEFAULTS[key]
     return generate_monolith_parameters(fs, rate, capacity, rounds, bars)

@@ -271,6 +271,14 @@ def _tablesr(cfg) -> _HostTablesR:
     )
 
 
+def _bar_m(fs) -> int:
+    """m of p = 2^n - 2^m + 1 (the extra Bar chunk boundary the native
+    runtime mirrors from ``monolith.config.bar_chunks``); 0 when p is not of
+    that shape (the config gate rejects such fields before any native call)."""
+    d = (1 << fs.modulus_bit_size) + 1 - fs.modulus
+    return d.bit_length() - 1 if d > 0 and d & (d - 1) == 0 else 0
+
+
 @dataclass(frozen=True)
 class _HostTablesM:
     """Per-config native Monolith constants (csrc MonolithTables layout)."""
@@ -335,8 +343,8 @@ def _call_permute(lib, cfg, plane: np.ndarray, n: int, n_threads: int,
         tab = tab if tab is not None else _tablesm(cfg)
         lib.monolith_permute_host(
             tab.fctx.ctypes.data, cfg.t, cfg.rounds, cfg.bars,
-            cfg.field.modulus_bit_size, tab.rc.ctypes.data,
-            tab.concrete.ctypes.data, tab.r2.ctypes.data,
+            cfg.field.modulus_bit_size, _bar_m(cfg.field),
+            tab.rc.ctypes.data, tab.concrete.ctypes.data, tab.r2.ctypes.data,
             plane.ctypes.data, n, n_threads,
         )
     elif _is_p2(cfg):
@@ -574,7 +582,8 @@ def host_run_schedule(cfg, steps, elems, state: SpongeState = None):
         tab = _tablesm(cfg)
         lib.monolith_sponge_run(
             tab.fctx.ctypes.data, cfg.t, cfg.rounds, cfg.bars,
-            cfg.field.modulus_bit_size, cfg.rate, cfg.capacity,
+            cfg.field.modulus_bit_size, _bar_m(cfg.field),
+            cfg.rate, cfg.capacity,
             tab.rc.ctypes.data, tab.concrete.ctypes.data, tab.r2.ctypes.data,
             step_arr.ctypes.data, len(steps),
             ein.ctypes.data, out.ctypes.data, st.ctypes.data, bk.ctypes.data,

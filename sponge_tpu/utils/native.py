@@ -273,7 +273,8 @@ def _build_poseidon() -> Optional[ctypes.CDLL]:
         ctypes.c_int32,   # t
         ctypes.c_int32,   # rounds
         ctypes.c_int32,   # bars (u)
-        ctypes.c_int32,   # n_bits (modulus bit length, bar chunking)
+        ctypes.c_int32,   # n_bits (modulus bit length)
+        ctypes.c_int32,   # bar_m (extra chunk boundary; 0/1 = none)
         ctypes.c_void_p,  # rc (rounds*t*4 u64, Montgomery, last row zero)
         ctypes.c_void_p,  # concrete (t*t*4 u64, Montgomery)
         ctypes.c_void_p,  # r2 (4 u64: R^2 mod p)
@@ -287,6 +288,7 @@ def _build_poseidon() -> Optional[ctypes.CDLL]:
         ctypes.c_int32,   # rounds
         ctypes.c_int32,   # bars
         ctypes.c_int32,   # n_bits
+        ctypes.c_int32,   # bar_m
         ctypes.c_int32,   # rate
         ctypes.c_int32,   # capacity
         ctypes.c_void_p,  # rc

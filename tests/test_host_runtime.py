@@ -221,8 +221,10 @@ def test_host_poseidon2_run_schedule_vs_oracle():
 
 def test_host_monolith_vs_oracle():
     """Native Monolith permute + full sponge + schedule driver vs oracle,
-    over all three bar-safe fields."""
+    over all four bar-safe fields (BabyBear exercises the non-byte-aligned
+    bar chunk boundary in the native bar_u64)."""
     from sponge_tpu import (
+        BABYBEAR_FR,
         GOLDILOCKS_FR,
         KOALABEAR_FR,
         MERSENNE31_FR,
@@ -232,7 +234,7 @@ def test_host_monolith_vs_oracle():
     from sponge_tpu.poseidon.host import HostMonolithSponge, host_available
 
     rng = np.random.default_rng(13)
-    for fs in (GOLDILOCKS_FR, MERSENNE31_FR, KOALABEAR_FR):
+    for fs in (GOLDILOCKS_FR, MERSENNE31_FR, KOALABEAR_FR, BABYBEAR_FR):
         cfg = get_default_monolith_parameters(fs)
         if not host_available(cfg):
             pytest.skip("no C++ toolchain")

@@ -1,7 +1,7 @@
 """Monolith family (ePrint 2023/1025 structure): Bars/Bricks/Concrete over
-the bar-safe fields (Goldilocks, Mersenne31, KoalaBear), behind the shared
-duplex machinery.  The scalar oracle is the ground truth; golden vectors
-below freeze the self-consistent default instances."""
+the bar-safe fields (Goldilocks, Mersenne31, KoalaBear, BabyBear), behind
+the shared duplex machinery.  The scalar oracle is the ground truth; golden
+vectors below freeze the self-consistent default instances."""
 
 from __future__ import annotations
 
@@ -32,6 +32,7 @@ from sponge_tpu.monolith.config import check_bar_field
 CFG_GL = get_default_monolith_parameters(GL)
 CFG_M31 = get_default_monolith_parameters(M31)
 CFG_KB = get_default_monolith_parameters(KB)
+CFG_BB = get_default_monolith_parameters(BABYBEAR_FR)
 
 
 def rand_elems(fs, n, seed=5):
@@ -55,14 +56,19 @@ def test_bar_chunks_geometry():
     assert bar_chunks(GL) == (8,) * 8
     assert bar_chunks(M31) == (8, 8, 8, 7)
     assert bar_chunks(KB) == (8, 8, 8, 7)
+    # BabyBear's m = 27 is not byte-aligned: the top byte splits at the
+    # boundary the range-preservation lemma needs (8 + 8 + 8 + 3 | 4).
+    assert bar_chunks(BABYBEAR_FR) == (8, 8, 8, 3, 4)
 
 
 def test_bar_safety_gate():
-    for fs in (GL, M31, KB):
+    for fs in (GL, M31, KB, BABYBEAR_FR):
         check_bar_field(fs)
-    # BabyBear = 2^31 - 2^27 + 1: m = 27 is not a chunk boundary.
-    with pytest.raises(ValueError, match="bar"):
-        check_bar_field(BABYBEAR_FR)
+    # A generic prime (d = 2^n + 1 - p not a power of two) is rejected.
+    from sponge_tpu import BLS12_381_FR
+
+    with pytest.raises(ValueError, match="not a power of two"):
+        check_bar_field(BLS12_381_FR)
 
 
 def test_bar_range_preserving_exhaustive_tiny_field():
@@ -73,8 +79,19 @@ def test_bar_range_preserving_exhaustive_tiny_field():
     assert imgs == set(range(fs.modulus))
 
 
+def test_bar_range_preserving_exhaustive_split_chunk():
+    """p = 2^13 - 2^9 + 1 = 7681 (the classic NTT prime): m = 9 is not
+    byte-aligned, so the chunks split at it (8, 1, 4) — the BabyBear
+    mechanism, exhaustively verified on a field small enough to enumerate."""
+    fs = FieldSpec(name="tiny_7681", modulus=7681, generator=17)
+    assert bar_chunks(fs) == (8, 1, 4)
+    check_bar_field(fs)
+    imgs = {bar_int(fs, x) for x in range(fs.modulus)}
+    assert imgs == set(range(fs.modulus))
+
+
 def test_bar_edge_values():
-    for fs in (GL, M31, KB):
+    for fs in (GL, M31, KB, BABYBEAR_FR):
         assert bar_int(fs, 0) == 0
         assert 0 <= bar_int(fs, fs.modulus - 1) < fs.modulus
         # Goldilocks: 2^64 - 2^32 (top 32 bits ones, low 32 zero) is the
@@ -92,10 +109,11 @@ def test_default_geometries():
     assert (CFG_GL.t, CFG_GL.bars, CFG_GL.rounds) == (12, 4, 6)
     assert (CFG_M31.t, CFG_M31.bars, CFG_M31.rounds) == (16, 8, 6)
     assert (CFG_KB.t, CFG_KB.bars, CFG_KB.rounds) == (16, 8, 6)
+    assert (CFG_BB.t, CFG_BB.bars, CFG_BB.rounds) == (16, 8, 6)
     assert CFG_GL.pow2_circulant_exponents() is not None  # pow2 circulant
     assert CFG_M31.pow2_circulant_exponents() is None  # small-int circulant
-    # all three defaults take the multiplication-free scaled device path
-    for c in (CFG_GL, CFG_M31, CFG_KB):
+    # all defaults take the multiplication-free scaled device path
+    for c in (CFG_GL, CFG_M31, CFG_KB, CFG_BB):
         assert c.concrete_small_entries() is not None
     with pytest.raises(ValueError, match="no default"):
         get_default_monolith_parameters(GL, rate=2)
@@ -112,8 +130,8 @@ def test_config_validation():
             rate=2,
             capacity=2,
         )
-    with pytest.raises(ValueError, match="bar"):
-        generate_monolith_parameters(BABYBEAR_FR, 8, 8)
+    with pytest.raises(ValueError, match="bars must be"):
+        generate_monolith_parameters(M31, 2, 2, bars=5)
 
 
 def test_default_concrete_matrices():
@@ -123,7 +141,7 @@ def test_default_concrete_matrices():
     from sponge_tpu.poseidon2.params import _det_mod_p
 
     row = (31, 19, 21, 11, 5, 7, 9, 26, 9, 16, 23, 13, 30, 30, 17, 5)
-    for cfg in (CFG_M31, CFG_KB):
+    for cfg in (CFG_M31, CFG_KB, CFG_BB):
         assert cfg.concrete[0] == row
         t = cfg.t
         for i in range(t):
@@ -151,8 +169,9 @@ def test_oracle_golden_regression():
         ],
         "mersenne31_fr": [1207749644, 841790736, 175126303],
         "koalabear_fr": [935778397, 727696613, 565866719],
+        "babybear_fr": [1869215551, 585220566, 752895513],
     }
-    for cfg in (CFG_GL, CFG_M31, CFG_KB):
+    for cfg in (CFG_GL, CFG_M31, CFG_KB, CFG_BB):
         s = OracleMonolithSponge(cfg)
         s.absorb_field_elements(list(range(8)))
         assert s.squeeze_native_field_elements(3) == expect[cfg.field.name]
@@ -163,7 +182,9 @@ def test_oracle_golden_regression():
 # ---------------------------------------------------------------------------
 
 
-@pytest.mark.parametrize("cfg", [CFG_GL, CFG_M31, CFG_KB], ids=lambda c: c.field.name)
+@pytest.mark.parametrize(
+    "cfg", [CFG_GL, CFG_M31, CFG_KB, CFG_BB], ids=lambda c: c.field.name
+)
 def test_xla_tier_vs_oracle(cfg):
     fs = cfg.field
     B = 4
@@ -297,7 +318,9 @@ def _run_monolith_kernel_body(cfg, B=256, stride=83, lane_streams=2):
         assert all(v < 2 * fs.modulus for v in raw), "output < 2p invariant"
 
 
-@pytest.mark.parametrize("cfg", [CFG_GL, CFG_M31, CFG_KB], ids=lambda c: c.field.name)
+@pytest.mark.parametrize(
+    "cfg", [CFG_GL, CFG_M31, CFG_KB, CFG_BB], ids=lambda c: c.field.name
+)
 def test_kernel_body_vs_oracle(cfg):
     """Both Concrete paths (pow2 shifts on Goldilocks, Cauchy lazy-REDC on
     the 31-bit fields), 2 lane streams, adversarial lanes."""
