@@ -82,6 +82,11 @@ class AnemoiConfig:
                     raise ValueError(f"each {name} row must have l entries")
         if len(self.mat_x) != lcol or any(len(r) != lcol for r in self.mat_x):
             raise ValueError("mat_x must be l x l")
+        if lcol == 1 and self.mat_x[0][0] % p != 1:
+            # Every tier skips the 1x1 multiply at l = 1 (the PHT alone
+            # diffuses a single pair, the paper's choice); a non-identity
+            # matrix would silently diverge between tiers.
+            raise ValueError("mat_x must be the identity at l = 1")
 
     @property
     def t(self) -> int:

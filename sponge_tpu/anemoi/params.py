@@ -91,11 +91,9 @@ def generate_anemoi_parameters(
     elif lcol == 2:
         mat_x = ((1, g), (g, (g * g + 1) % p))
     else:
-        xs = lfsr.get_field_elements_mod_p(fs, lcol)
-        ys = lfsr.get_field_elements_mod_p(fs, lcol)
-        mat_x = tuple(
-            tuple(pow((x + y) % p, -1, p) for y in ys) for x in xs
-        )
+        from ..monolith.params import _cauchy_mds
+
+        mat_x = _cauchy_mds(lfsr, fs, lcol)
     return AnemoiConfig(
         field=fs,
         rounds=rounds,

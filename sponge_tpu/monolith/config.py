@@ -33,6 +33,15 @@ from dataclasses import dataclass
 from ..fields import FieldSpec
 
 
+def bar_m(fs: FieldSpec) -> int:
+    """m of p = 2^n - 2^m + 1 (the Bar chunk boundary the lemma in
+    ``check_bar_field`` needs); 0 when p is not of that shape.  The single
+    source of the boundary for ``bar_chunks``, the host runtime, and the
+    native ``bar_u64`` mirror."""
+    d = (1 << fs.modulus_bit_size) + 1 - fs.modulus
+    return d.bit_length() - 1 if d > 0 and d & (d - 1) == 0 else 0
+
+
 def bar_chunks(fs: FieldSpec) -> tuple:
     """Chunk widths (little-endian) of the Bar decomposition: 8-bit chunks
     with an extra boundary at ``m`` (p = 2^n - 2^m + 1) when m is not
@@ -42,8 +51,7 @@ def bar_chunks(fs: FieldSpec) -> tuple:
     byte: 8,8,8,3,4).  The C++ host runtime's ``bar_u64`` mirrors this loop
     exactly (csrc/poseidon_host.cc)."""
     n = fs.modulus_bit_size
-    d = (1 << n) + 1 - fs.modulus
-    m = d.bit_length() - 1 if d > 0 and d & (d - 1) == 0 else 0
+    m = bar_m(fs)
     chunks = []
     bit = 0
     while bit < n:

@@ -280,13 +280,15 @@ def _bar_multi(lists, fs):
 
 def mersenne_rot_shift(fs) -> int | None:
     """For Mersenne-prime fields (p = 2^n - 1) the Montgomery form is a pure
-    bit-rotation of the canonical value: R mod p = 2^s with s = 12L mod n, so
-    m = x * 2^s mod p = rotl_s(x) on n-bit strings.  Bars can therefore run
-    directly in the Montgomery domain — extract the canonical chunks at
-    rotated bit positions (with wrap), S-box, scatter back — with ZERO
-    multiplies (no REDC in, no R^2 multiply out).  Returns the shift s, or
-    None when the trick does not apply (non-Mersenne p, or the 12L - n high
-    bits span more than one limb)."""
+    bit-rotation of the canonical value: R mod p = 2^s with s = 12L mod n,
+    so mont(x) = rotl_s(x) on n-bit strings.  The whole permutation can
+    therefore run in the CANONICAL domain with zero Montgomery reductions:
+    ``_monolith_kernel_mersenne`` converts at the permutation boundary with
+    bit rotations (``_rot_bits_multi``), canonicalizes each round entry
+    multiply-free (``_mersenne_canon_multi``), and reduces squares by the
+    2^(12L) = 2^s shift-fold — design narrative in docs/DESIGN.md §16.2.
+    Returns the shift s, or None when the trick does not apply (non-Mersenne
+    p, or the 12L - n high bits span more than one limb)."""
     n = fs.modulus_bit_size
     if fs.modulus != (1 << n) - 1:
         return None

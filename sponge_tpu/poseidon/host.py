@@ -272,11 +272,11 @@ def _tablesr(cfg) -> _HostTablesR:
 
 
 def _bar_m(fs) -> int:
-    """m of p = 2^n - 2^m + 1 (the extra Bar chunk boundary the native
-    runtime mirrors from ``monolith.config.bar_chunks``); 0 when p is not of
-    that shape (the config gate rejects such fields before any native call)."""
-    d = (1 << fs.modulus_bit_size) + 1 - fs.modulus
-    return d.bit_length() - 1 if d > 0 and d & (d - 1) == 0 else 0
+    """The Bar chunk boundary the native runtime passes to ``bar_u64``
+    (single source: ``monolith.config.bar_m``)."""
+    from ..monolith.config import bar_m
+
+    return bar_m(fs)
 
 
 @dataclass(frozen=True)

@@ -64,6 +64,13 @@ def test_config_validation():
     # 31-bit fields have no published Anemoi analysis: defaults refuse
     with pytest.raises(ValueError, match="pass rounds"):
         generate_anemoi_parameters(M31, 8, capacity=8)
+    # every tier skips the 1x1 multiply at l = 1, so a non-identity matrix
+    # (which the oracle WOULD apply) is rejected rather than diverging
+    with pytest.raises(ValueError, match="identity at l = 1"):
+        AnemoiConfig(
+            field=FR, rounds=25, alpha=5, g=7, mat_x=((2,),),
+            rc_x=CFG.rc_x, rc_y=CFG.rc_y, rate=1, capacity=1,
+        )
 
 
 def test_flystel_is_invertible():
