@@ -302,7 +302,11 @@ def compress_digest_pairs(
     )
 
 
-def _level_compress_wide(cfg, level, backend, chunk):
+def _level_compress_wide(cfg, level, backend, chunk, compress=None):
+    """One wide-digest tree level through a constant set of compiled kernel
+    shapes (``compress`` defaults to the sponge-mode digest compression; the
+    Jive mode threads its own)."""
+    compress = compress or compress_digest_pairs
     d, L, n2 = level.shape
     pairs = level.reshape(d, L, n2 // 2, 2)
     l, r = pairs[..., 0], pairs[..., 1]
@@ -310,9 +314,7 @@ def _level_compress_wide(cfg, level, backend, chunk):
     if n > chunk and n % chunk == 0:
         return jnp.concatenate(
             [
-                compress_digest_pairs(
-                    cfg, l[..., i : i + chunk], r[..., i : i + chunk], backend
-                )
+                compress(cfg, l[..., i : i + chunk], r[..., i : i + chunk], backend)
                 for i in range(0, n, chunk)
             ],
             axis=-1,
@@ -321,8 +323,8 @@ def _level_compress_wide(cfg, level, backend, chunk):
         pad = chunk - n
         lp = jnp.pad(l, [(0, 0), (0, 0), (0, pad)])
         rp = jnp.pad(r, [(0, 0), (0, 0), (0, pad)])
-        return compress_digest_pairs(cfg, lp, rp, backend)[..., :n]
-    return compress_digest_pairs(cfg, l, r, backend)
+        return compress(cfg, lp, rp, backend)[..., :n]
+    return compress(cfg, l, r, backend)
 
 
 def merkle_tree_wide(
@@ -423,3 +425,61 @@ def merkle_verify_batch_wide(
     return _verify_batch_wide_device(
         cfg, root, leaves, paths, jnp.asarray(idx_np, dtype=jnp.int32), backend
     )
+
+
+# ---------------------------------------------------------------------------
+# Jive compression mode (the Anemoi paper's Merkle construction, ePrint
+# 2022/840 §4): a b-to-1 PERMUTATION-mode compression with a feed-forward
+# sum instead of a sponge capacity — Jive_2 maps the full t-element state to
+# t/2 digest elements with exactly one permutation and no capacity overhead,
+# so a t = 2 permutation (Anemoi's Jive width) compresses two 255-bit
+# digests in one call.  Works over ANY even-width family config via the
+# batched_permute dispatch hook.
+# ---------------------------------------------------------------------------
+
+
+def jive_compress_pairs(
+    cfg, left: jnp.ndarray, right: jnp.ndarray, backend: str = "auto"
+) -> jnp.ndarray:
+    """Batched Jive_2 compression: (d, L, B) x (d, L, B) -> (d, L, B), d = t/2.
+
+    digest_j = x_j + x_{d+j} + P(x)_j + P(x)_{d+j}  (feed-forward sum over
+    the two input blocks).  Inputs/outputs are Montgomery limb planes
+    honoring the framework-wide value < 2p invariant (the 4-term sum is
+    reduced back below 2p by one Montgomery-by-1 multiply: the sum value is
+    < 8p << R, so T/R + p < 2p at every shipped R/p headroom).
+    """
+    d = left.shape[0]
+    if cfg.t != 2 * d:
+        raise ValueError(
+            f"Jive_2 needs t = 2 * digest width; got t={cfg.t}, d={d}"
+        )
+    fs = cfg.field
+    x = jnp.concatenate([left, right], axis=0)  # (t, L, B)
+    px = batched_permute(cfg, x, backend)
+    acc = mont.mont_add(fs, x[:d], x[d:], px[:d], px[d:])
+    one = jnp.asarray(
+        fs.int_to_limbs(fs.r_mod_p).astype("int32")
+    )[:, None]
+    return mont.mont_mul(fs, acc, one)
+
+
+def merkle_root_jive(
+    cfg,
+    leaves: jnp.ndarray,
+    backend: str = "auto",
+    chunk: int = 1 << 17,
+) -> jnp.ndarray:
+    """Jive-mode Merkle reduction: (d, L, N) digest plane -> (d, L) root,
+    d = t/2 (one permutation per node; cf. ``merkle_root_wide`` for the
+    sponge-mode construction).  N must be a power of two.
+    """
+    d, L, N = leaves.shape
+    if N & (N - 1):
+        raise ValueError("leaf count must be a power of two")
+    level = leaves
+    while level.shape[-1] > 1:
+        level = _level_compress_wide(
+            cfg, level, backend, chunk, compress=jive_compress_pairs
+        )
+    return level[..., 0]

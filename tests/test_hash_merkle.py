@@ -214,3 +214,72 @@ def test_merkle_open_verify_batch():
     # Scalar wrapper (one fused program) still agrees.
     assert merkle_verify(CFG, root, leaves[:, 5], merkle_open(levels, 5), 5)
     assert not merkle_verify(CFG, root, leaves[:, 5], merkle_open(levels, 5), 4)
+
+
+def test_jive_compression_vs_oracle():
+    """Jive_2 (ePrint 2022/840 §4): digest = feed-forward sum of inputs and
+    permuted outputs over the two blocks — checked against a python-int
+    replay of the oracle permutation, for Anemoi t=2 (the paper's width) and
+    Griffin t=8 over Goldilocks (d=4 wide digests)."""
+    from sponge_tpu import (
+        GOLDILOCKS_FR,
+        get_default_anemoi_parameters,
+        get_default_griffin_parameters,
+    )
+    from sponge_tpu.hash import jive_compress_pairs, merkle_root_jive
+
+    rng = np.random.default_rng(44)
+    for cfg in (
+        get_default_anemoi_parameters(BLS12_381_FR, 1),
+        get_default_griffin_parameters(GOLDILOCKS_FR, 4),
+    ):
+        fs = cfg.field
+        d = cfg.t // 2
+        B = 4
+        lvals = [[int(v) % fs.modulus for v in rng.integers(0, 1 << 62, size=B)]
+                 for _ in range(d)]
+        rvals = [[int(v) % fs.modulus for v in rng.integers(0, 1 << 62, size=B)]
+                 for _ in range(d)]
+        left = jnp.asarray(np.stack([fs.ints_to_mont_plane(r) for r in lvals]))
+        right = jnp.asarray(np.stack([fs.ints_to_mont_plane(r) for r in rvals]))
+        out = np.asarray(jive_compress_pairs(cfg, left, right))
+        for b in range(B):
+            o = cfg.oracle_sponge()
+            x = [lvals[j][b] for j in range(d)] + [rvals[j][b] for j in range(d)]
+            o.state = list(x)
+            o.permute()
+            for j in range(d):
+                want = (x[j] + x[d + j] + o.state[j] + o.state[d + j]) % fs.modulus
+                got = fs.mont_plane_to_ints(out[j][:, b : b + 1])[0]
+                assert got == want, (cfg.field.name, b, j)
+        # output honors the framework-wide < 2p invariant
+        for j in range(d):
+            raw = [fs.limbs_to_int(out[j][:, b]) for b in range(B)]
+            assert all(v < 2 * fs.modulus for v in raw)
+
+    # d mismatch is rejected
+    cfg = get_default_anemoi_parameters(BLS12_381_FR, 1)
+    with pytest.raises(ValueError, match="t = 2"):
+        jive_compress_pairs(
+            cfg,
+            jnp.zeros((2, cfg.field.nlimbs, 4), dtype=jnp.int32),
+            jnp.zeros((2, cfg.field.nlimbs, 4), dtype=jnp.int32),
+        )
+
+    # Jive-mode Merkle root == sequential host reduction with the same rule
+    cfg = get_default_anemoi_parameters(BLS12_381_FR, 1)
+    fs = cfg.field
+    N = 8
+    leaf_ints = [int(v) % fs.modulus for v in rng.integers(0, 1 << 62, size=N)]
+    leaves = jnp.asarray(fs.ints_to_mont_plane(leaf_ints))[None]  # (1, L, N)
+    root = np.asarray(merkle_root_jive(cfg, leaves))
+    cur = list(leaf_ints)
+    while len(cur) > 1:
+        nxt = []
+        for i in range(0, len(cur), 2):
+            o = cfg.oracle_sponge()
+            o.state = [cur[i], cur[i + 1]]
+            o.permute()
+            nxt.append((cur[i] + cur[i + 1] + o.state[0] + o.state[1]) % fs.modulus)
+        cur = nxt
+    assert fs.mont_plane_to_ints(root[0][:, None])[0] == cur[0]
