@@ -163,6 +163,7 @@ struct MonolithTables;
 struct RescueTables;
 struct GriffinTables;
 struct AnemoiTables;
+struct GmimcTables;
 
 struct PoseidonCtx {
   FieldCtx64 f;
@@ -179,6 +180,7 @@ struct PoseidonCtx {
   const RescueTables* rescue;     // non-null => Rescue-Prime schedule
   const GriffinTables* griffin;   // non-null => Griffin schedule
   const AnemoiTables* anemoi;     // non-null => Anemoi schedule
+  const GmimcTables* gmimc;       // non-null => GMiMC-erf schedule
 };
 
 inline void one_round(const PoseidonCtx& c, int r, bool full, u64* st,
@@ -593,7 +595,33 @@ inline void permute_one_anemoi(const PoseidonCtx& c, u64* st, u64* scratch) {
   anemoi_diffusion(c, st, scratch);
 }
 
+// GMiMC-erf tables (ePrint 2019/397 structure; see sponge_tpu/gmimc).
+struct GmimcTables {
+  const u64* rc;  // (rounds * NW) words, Montgomery form
+  int32_t rounds;
+};
+
+// GMiMC-erf permutation: per round, F = (x_0 + c_r)^alpha fans into every
+// other branch, then the state rotates left (the original x_0 to the back).
+inline void permute_one_gmimc(const PoseidonCtx& c, u64* st, u64* scratch) {
+  const int t = c.t;
+  const GmimcTables& g = *c.gmimc;
+  for (int r = 0; r < g.rounds; ++r) {
+    u64 f[NW];
+    mont_add(c.f, st, g.rc + (int64_t)r * NW, f);
+    mont_pow(c.f, f, c.alpha, f);
+    std::memcpy(scratch + (int64_t)(t - 1) * NW, st, NW * sizeof(u64));
+    for (int i = 1; i < t; ++i)
+      mont_add(c.f, st + (int64_t)i * NW, f, scratch + (int64_t)(i - 1) * NW);
+    std::memcpy(st, scratch, (size_t)t * NW * sizeof(u64));
+  }
+}
+
 inline void permute_one(const PoseidonCtx& c, u64* st, u64* scratch) {
+  if (c.gmimc != nullptr) {
+    permute_one_gmimc(c, st, scratch);
+    return;
+  }
   if (c.anemoi != nullptr) {
     permute_one_anemoi(c, st, scratch);
     return;
@@ -634,7 +662,8 @@ inline PoseidonCtx make_ctx(const u64* fctx, int32_t t, int32_t alpha,
                             const MonolithTables* mono = nullptr,
                             const RescueTables* rescue = nullptr,
                             const GriffinTables* griffin = nullptr,
-                            const AnemoiTables* anemoi = nullptr) {
+                            const AnemoiTables* anemoi = nullptr,
+                            const GmimcTables* gmimc = nullptr) {
   PoseidonCtx c;
   std::memcpy(c.f.p, fctx, NW * sizeof(u64));
   c.f.n0inv = fctx[NW];
@@ -650,6 +679,7 @@ inline PoseidonCtx make_ctx(const u64* fctx, int32_t t, int32_t alpha,
   c.rescue = rescue;
   c.griffin = griffin;
   c.anemoi = anemoi;
+  c.gmimc = gmimc;
   return c;
 }
 
@@ -938,6 +968,28 @@ void griffin_sponge_run(const u64* fctx, int32_t t, int32_t alpha,
   GriffinTables g{rc, mat_e, qa, qb, inv_alpha, one_mont, rounds};
   PoseidonCtx c = make_ctx(fctx, t, alpha, 0, 0, nullptr, nullptr, nullptr,
                            nullptr, nullptr, nullptr, &g);
+  sponge_run(c, rate, capacity, steps, n_steps, elems, out, state_io, bk);
+}
+
+// GMiMC-erf entries (ePrint 2019/397 structure).  rc: rounds elements
+// (Montgomery — the only constants the family has).
+void gmimc_permute_host(const u64* fctx, int32_t t, int32_t alpha,
+                        int32_t rounds, const u64* rc, u64* states, int64_t n,
+                        int32_t n_threads) {
+  GmimcTables g{rc, rounds};
+  PoseidonCtx c = make_ctx(fctx, t, alpha, 0, 0, nullptr, nullptr, nullptr,
+                           nullptr, nullptr, nullptr, nullptr, nullptr, &g);
+  batch_permute(c, states, n, n_threads);
+}
+
+void gmimc_sponge_run(const u64* fctx, int32_t t, int32_t alpha,
+                      int32_t rounds, int32_t rate, int32_t capacity,
+                      const u64* rc, const int32_t* steps, int64_t n_steps,
+                      const u64* elems, u64* out, u64* state_io,
+                      int32_t* bk) {
+  GmimcTables g{rc, rounds};
+  PoseidonCtx c = make_ctx(fctx, t, alpha, 0, 0, nullptr, nullptr, nullptr,
+                           nullptr, nullptr, nullptr, nullptr, nullptr, &g);
   sponge_run(c, rate, capacity, steps, n_steps, elems, out, state_io, bk);
 }
 

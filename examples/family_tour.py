@@ -29,6 +29,7 @@ from sponge_tpu import (
     PoseidonSponge,
     U64,
     get_default_anemoi_parameters,
+    get_default_gmimc_parameters,
     get_default_griffin_parameters,
     get_default_monolith_parameters,
     get_default_poseidon2_parameters,
@@ -44,6 +45,7 @@ CONFIGS = [
     ("Monolith / Goldilocks", get_default_monolith_parameters(GOLDILOCKS_FR)),
     ("Griffin / Goldilocks", get_default_griffin_parameters(GOLDILOCKS_FR, 4)),
     ("Anemoi / Goldilocks", get_default_anemoi_parameters(GOLDILOCKS_FR, 4)),
+    ("GMiMC-erf / Goldilocks", get_default_gmimc_parameters(GOLDILOCKS_FR, 4)),
 ]
 
 print("backend:", jax.default_backend())

@@ -90,9 +90,16 @@ from .anemoi import (
     generate_anemoi_parameters,
     get_default_anemoi_parameters,
 )
+from .gmimc import (
+    GmimcConfig,
+    OracleGmimcSponge,
+    generate_gmimc_parameters,
+    get_default_gmimc_parameters,
+)
 from .lazy import LazyPoseidonSponge
 from .poseidon.host import (
     HostAnemoiSponge,
+    HostGmimcSponge,
     HostGriffinSponge,
     HostMonolithSponge,
     HostPoseidon2Sponge,
@@ -131,6 +138,7 @@ __all__ = [
     "LazyPoseidonSponge",
     "HostPoseidonSponge",
     "HostAnemoiSponge",
+    "HostGmimcSponge",
     "HostGriffinSponge",
     "HostMonolithSponge",
     "HostPoseidon2Sponge",
@@ -155,6 +163,10 @@ __all__ = [
     "OracleAnemoiSponge",
     "generate_anemoi_parameters",
     "get_default_anemoi_parameters",
+    "GmimcConfig",
+    "OracleGmimcSponge",
+    "generate_gmimc_parameters",
+    "get_default_gmimc_parameters",
     "host_available",
     "host_run_schedule",
     "Batched",

@@ -165,6 +165,30 @@ def _is_anemoi(cfg) -> bool:
     return isinstance(cfg, AnemoiConfig)
 
 
+def _is_gmimc(cfg) -> bool:
+    from ..gmimc.config import GmimcConfig
+
+    return isinstance(cfg, GmimcConfig)
+
+
+@dataclass(frozen=True)
+class _HostTablesGm:
+    """Per-config native GMiMC-erf constants (csrc GmimcTables layout)."""
+
+    fctx: np.ndarray  # (5,) u64: p (4 LE words) + n0inv
+    rc: np.ndarray    # (rounds*4,) u64, Montgomery
+
+
+@functools.lru_cache(maxsize=32)
+def _tablesgm(cfg) -> _HostTablesGm:
+    p = cfg.field.modulus
+    fctx = np.zeros(5, dtype=np.uint64)
+    fctx[0:4] = np.frombuffer(p.to_bytes(32, "little"), dtype=np.uint64)
+    fctx[4] = (-pow(p, -1, 1 << 64)) % (1 << 64)
+    rc = _to_mont_words(p, list(cfg.rc)).reshape(-1)
+    return _HostTablesGm(fctx=fctx, rc=rc)
+
+
 @dataclass(frozen=True)
 class _HostTablesA:
     """Per-config native Anemoi constants (csrc AnemoiTables layout)."""
@@ -313,7 +337,13 @@ def _call_permute(lib, cfg, plane: np.ndarray, n: int, n_threads: int,
     it on per-permute hot paths to skip the lru_cache lookup, which hashes the
     whole config (63x3 bigint ark tuple) and costs ~4% of a native permute.
     """
-    if _is_anemoi(cfg):
+    if _is_gmimc(cfg):
+        tab = tab if tab is not None else _tablesgm(cfg)
+        lib.gmimc_permute_host(
+            tab.fctx.ctypes.data, cfg.t, cfg.alpha, cfg.rounds,
+            tab.rc.ctypes.data, plane.ctypes.data, n, n_threads,
+        )
+    elif _is_anemoi(cfg):
         tab = tab if tab is not None else _tablesa(cfg)
         lib.anemoi_permute_host(
             tab.fctx.ctypes.data, cfg.t, cfg.alpha, cfg.rounds,
@@ -429,7 +459,9 @@ class HostPoseidonSponge(OraclePoseidonSponge):
         # Resolve tables/lib once: hashing the config (63x3 bigint ark tuple)
         # per permute would cost a measurable fraction of the permutation.
         if self._native:
-            if _is_anemoi(cfg):
+            if _is_gmimc(cfg):
+                self._tab = _tablesgm(cfg)
+            elif _is_anemoi(cfg):
                 self._tab = _tablesa(cfg)
             elif _is_griffin(cfg):
                 self._tab = _tablesg(cfg)
@@ -464,6 +496,7 @@ class HostPoseidonSponge(OraclePoseidonSponge):
 
 
 from ..anemoi.oracle import OracleAnemoiSponge  # noqa: E402
+from ..gmimc.oracle import OracleGmimcSponge  # noqa: E402
 from ..griffin.oracle import OracleGriffinSponge  # noqa: E402
 from ..monolith.oracle import OracleMonolithSponge  # noqa: E402
 from ..poseidon2.oracle import OraclePoseidon2Sponge  # noqa: E402
@@ -494,6 +527,10 @@ class HostGriffinSponge(HostPoseidonSponge, OracleGriffinSponge):
 
 class HostAnemoiSponge(HostPoseidonSponge, OracleAnemoiSponge):
     """The Anemoi oracle with the native permute (same MRO pattern)."""
+
+
+class HostGmimcSponge(HostPoseidonSponge, OracleGmimcSponge):
+    """The GMiMC-erf oracle with the native permute (same MRO pattern)."""
 
 
 _MODE_CODE = {ABSORBING: 0, SQUEEZING: 1}
@@ -546,7 +583,15 @@ def host_run_schedule(cfg, steps, elems, state: SpongeState = None):
     st = np.ascontiguousarray(_to_mont_words(p, state.state))
     bk = np.array([_MODE_CODE[state.mode], state.index], dtype=np.int32)
 
-    if _is_anemoi(cfg):
+    if _is_gmimc(cfg):
+        tab = _tablesgm(cfg)
+        lib.gmimc_sponge_run(
+            tab.fctx.ctypes.data, cfg.t, cfg.alpha, cfg.rounds,
+            cfg.rate, cfg.capacity, tab.rc.ctypes.data,
+            step_arr.ctypes.data, len(steps),
+            ein.ctypes.data, out.ctypes.data, st.ctypes.data, bk.ctypes.data,
+        )
+    elif _is_anemoi(cfg):
         tab = _tablesa(cfg)
         lib.anemoi_sponge_run(
             tab.fctx.ctypes.data, cfg.t, cfg.alpha, cfg.rounds,

@@ -268,6 +268,31 @@ def _build_poseidon() -> Optional[ctypes.CDLL]:
         ctypes.c_void_p,  # state_io
         ctypes.c_void_p,  # bk
     ]
+    lib.gmimc_permute_host.argtypes = [
+        ctypes.c_void_p,  # fctx
+        ctypes.c_int32,   # t
+        ctypes.c_int32,   # alpha
+        ctypes.c_int32,   # rounds
+        ctypes.c_void_p,  # rc (rounds*4 u64, Montgomery)
+        ctypes.c_void_p,  # states (n*t*4 u64, in-place)
+        ctypes.c_int64,   # n
+        ctypes.c_int32,   # n_threads
+    ]
+    lib.gmimc_sponge_run.argtypes = [
+        ctypes.c_void_p,  # fctx
+        ctypes.c_int32,   # t
+        ctypes.c_int32,   # alpha
+        ctypes.c_int32,   # rounds
+        ctypes.c_int32,   # rate
+        ctypes.c_int32,   # capacity
+        ctypes.c_void_p,  # rc
+        ctypes.c_void_p,  # steps
+        ctypes.c_int64,   # n_steps
+        ctypes.c_void_p,  # elems
+        ctypes.c_void_p,  # out
+        ctypes.c_void_p,  # state_io
+        ctypes.c_void_p,  # bk
+    ]
     lib.monolith_permute_host.argtypes = [
         ctypes.c_void_p,  # fctx
         ctypes.c_int32,   # t
