@@ -60,11 +60,14 @@ def main():
         BLS12_381_FR as FR,
         GOLDILOCKS_FR as GL,
         OracleAnemoiSponge,
+        OracleGmimcSponge,
         OracleGriffinSponge,
         get_default_anemoi_parameters,
+        get_default_gmimc_parameters,
         get_default_griffin_parameters,
     )
     from sponge_tpu.anemoi.permutation import anemoi_permute_jit
+    from sponge_tpu.gmimc.permutation import gmimc_permute_jit
     from sponge_tpu.griffin.permutation import griffin_permute_jit
     from sponge_tpu.hash import jive_compress_pairs
 
@@ -81,6 +84,10 @@ def main():
          OracleAnemoiSponge, anemoi_permute_jit, 1 << 17),
         ("anemoi_goldilocks_rate4", get_default_anemoi_parameters(GL, 4),
          OracleAnemoiSponge, anemoi_permute_jit, 1 << 18),
+        ("gmimc_bls381_rate2", get_default_gmimc_parameters(FR, 2),
+         OracleGmimcSponge, gmimc_permute_jit, 1 << 17),
+        ("gmimc_goldilocks_rate4", get_default_gmimc_parameters(GL, 4),
+         OracleGmimcSponge, gmimc_permute_jit, 1 << 18),
     )
     for label, cfg, oracle_cls, jit_fn, B in cases:
         fs = cfg.field

@@ -144,6 +144,42 @@ def test_duplex_sponge_integration():
         assert got_bytes[b] == o.squeeze_bytes(17), b
 
 
+def test_compiled_transcript_with_gmimc():
+    """compile_transcript is family-agnostic via the batched_permute hook:
+    a full Fiat-Shamir schedule (mode flips, multi-chunk squeeze) over a
+    GmimcConfig matches the oracle replay."""
+    import jax.numpy as jnp
+
+    from sponge_tpu.transcript import (
+        Absorb,
+        SqueezeNative,
+        compile_transcript,
+        transcript_shape,
+    )
+
+    schedule = [Absorb(3), SqueezeNative(2), Absorb(1), SqueezeNative(5)]
+    total_a, total_q = transcript_shape(schedule)
+    B = 2
+    lanes = [rand_fr(FR, total_a, seed=70 + b) for b in range(B)]
+    grid = np.asarray(lanes, dtype=object).T  # (total_a, B)
+    elems = jnp.asarray(
+        np.stack([FR.ints_to_mont_plane(row) for row in grid], axis=0)
+    )
+    out = np.asarray(compile_transcript(CFG, schedule)(elems))
+    for b in range(B):
+        o = OracleGmimcSponge(CFG)
+        want = []
+        pos = 0
+        for step in schedule:
+            if isinstance(step, Absorb):
+                o.absorb_field_elements(lanes[b][pos : pos + step.num_elements])
+                pos += step.num_elements
+            else:
+                want.extend(o.squeeze_native_field_elements(step.num_elements))
+        got = [FR.limbs_to_int(out[i, :, b]) for i in range(total_q)]
+        assert got == want, b
+
+
 def test_oracle_duplex_is_poseidon_machine():
     """GMiMC's duplex behavior (lazy permutes, mode flips, additive absorb)
     is byte-identical to the shared machine — only permute() differs."""
