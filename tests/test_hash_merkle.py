@@ -219,19 +219,23 @@ def test_merkle_open_verify_batch():
 def test_jive_compression_vs_oracle():
     """Jive_2 (ePrint 2022/840 §4): digest = feed-forward sum of inputs and
     permuted outputs over the two blocks — checked against a python-int
-    replay of the oracle permutation, for Anemoi t=2 (the paper's width) and
-    Griffin t=8 over Goldilocks (d=4 wide digests)."""
+    replay of the oracle permutation, for Anemoi t=2 (the paper's width),
+    Griffin t=8 over Goldilocks (d=4 wide digests), and Poseidon2 t=2 (the
+    fastest 255-bit 2-to-1 compressor, BENCHMARKS.md)."""
     from sponge_tpu import (
         GOLDILOCKS_FR,
         get_default_anemoi_parameters,
         get_default_griffin_parameters,
     )
     from sponge_tpu.hash import jive_compress_pairs, merkle_root_jive
+    from sponge_tpu.poseidon2 import generate_poseidon2_parameters
 
     rng = np.random.default_rng(44)
     for cfg in (
         get_default_anemoi_parameters(BLS12_381_FR, 1),
         get_default_griffin_parameters(GOLDILOCKS_FR, 4),
+        # the Poseidon2 paper's t=2 255-bit instance (alpha=5, R_F=8, R_P=56)
+        generate_poseidon2_parameters(BLS12_381_FR, 1, 5, 8, 56),
     ):
         fs = cfg.field
         d = cfg.t // 2
