@@ -63,13 +63,50 @@ def _norm1(limbs):
     return out
 
 
-def _redc(L, cols, p_limbs, n0inv):
+def _relaxed_norm_multi(limbs_list, passes=2):
+    """Chain-FREE epsilon-redundant normalization: ``passes`` parallel
+    split-carry passes ``out[k] = (v[k] & mask) + (v[k-1] >> 12)``.
+
+    Unlike ``_norm1`` (an L-step *sequential* carry chain), every limb here
+    is computed independently — zero dependency chain — at the cost of a
+    redundant output range: limbs <= 2^12 + 128 ("quasi-canonical") instead
+    of < 2^12.  Exactness: the represented VALUE is preserved limb-for-limb
+    (the top limb's high part is provably empty because every in-kernel
+    value stays < 4.1p << 2^(12L), so v[L-1] < 2^12 + eps and nothing is
+    dropped).  Bound book-keeping for the redundant range lives in
+    ``_mds_groups(quasi=True)`` and the docstrings of the column builders:
+    2 passes bring any REDC tail (< 2^31) to <= (2^12-1) + 129 = 4224; one
+    pass suffices for add-sites whose input is <= 2^19 (ark adds, sparse
+    column adds, grouped-MDS part sums) and lands <= 4095 + 128.
+    """
+    outs = limbs_list
+    for _ in range(passes):
+        outs = [
+            [
+                (limbs[k] & LIMB_MASK)
+                + (limbs[k - 1] >> LIMB_BITS if k else 0)
+                for k in range(len(limbs))
+            ]
+            for limbs in outs
+        ]
+    return outs
+
+
+def _relaxed_norm(limbs, passes=2):
+    """Single-list form of ``_relaxed_norm_multi``."""
+    return _relaxed_norm_multi([limbs], passes)[0]
+
+
+def _redc(L, cols, p_limbs, n0inv, final_norm=None):
     """Interleaved-carry Montgomery reduction of a 2L redundant column list.
 
     Standard base-2^12 CIOS tail: per limb i, u = (true value at i) * N'0 mod
     2^12 makes column i divisible by 2^12; u*p is accumulated into the higher
     columns; the running carry c tracks the exact value flowing out of the
     reduced low limbs.  Result = columns L..2L-1 plus c at position L.
+    ``final_norm`` overrides the closing normalization (default the exact
+    sequential ``_norm1``; the relaxed kernel substitutes the chain-free
+    ``_relaxed_norm``).
     """
     c = None
     for i in range(L):
@@ -83,7 +120,7 @@ def _redc(L, cols, p_limbs, n0inv):
                 cols[i + k] = cols[i + k] + u * pk
     res = list(cols[L : 2 * L])
     res[0] = res[0] + c
-    return _norm1(res)
+    return (final_norm or _norm1)(res)
 
 
 def _mul_cols(L, a, b):
@@ -98,9 +135,9 @@ def _mul_cols(L, a, b):
     return cols
 
 
-def _cios_mul(L, a, b, p_limbs, n0inv):
+def _cios_mul(L, a, b, p_limbs, n0inv, final_norm=None):
     """Montgomery product of two limb lists (schoolbook + interleaved REDC)."""
-    return _redc(L, _mul_cols(L, a, b), p_limbs, n0inv)
+    return _redc(L, _mul_cols(L, a, b), p_limbs, n0inv, final_norm)
 
 
 def _cios_mul_const(L, a, b_ints, p_limbs, n0inv):
@@ -143,9 +180,9 @@ def _sqr_cols(L, a):
     return cols
 
 
-def _cios_sqr(L, a, p_limbs, n0inv):
+def _cios_sqr(L, a, p_limbs, n0inv, final_norm=None):
     """Montgomery square via the symmetric column builder + interleaved REDC."""
-    return _redc(L, _sqr_cols(L, a), p_limbs, n0inv)
+    return _redc(L, _sqr_cols(L, a), p_limbs, n0inv, final_norm)
 
 
 # ---------------------------------------------------------------------------
@@ -228,14 +265,14 @@ def _pow_alpha_multi(L, xs, alpha, p_limbs, n0inv, final_norm=None):
     return accs
 
 
-def _pow_alpha(L, x, alpha, p_limbs, n0inv):
+def _pow_alpha(L, x, alpha, p_limbs, n0inv, final_norm=None):
     """x^alpha by MSB-first square-and-multiply over limb lists."""
     bits = bin(alpha)[2:]
     acc = x
     for bit in bits[1:]:
-        acc = _cios_sqr(L, acc, p_limbs, n0inv)
+        acc = _cios_sqr(L, acc, p_limbs, n0inv, final_norm)
         if bit == "1":
-            acc = _cios_mul(L, acc, x, p_limbs, n0inv)
+            acc = _cios_mul(L, acc, x, p_limbs, n0inv, final_norm)
     return acc
 
 
@@ -258,7 +295,10 @@ def _row_dot_cols(L, elems, coeffs, js):
     return cols
 
 
-def _sparse_apply(L, t, elems, row0, col0, p_limbs, n0inv, groups=None):
+def _sparse_apply(
+    L, t, elems, row0, col0, p_limbs, n0inv, groups=None, final_norm=None,
+    sum_norm=None,
+):
     """Apply one optimized-partial-round sparse matrix to limb-list elements.
 
     ``row0``: t limb vectors (lists of scalars — SMEM loads in-kernel, ints in
@@ -270,21 +310,29 @@ def _sparse_apply(L, t, elems, row0, col0, p_limbs, n0inv, groups=None):
     groups = groups or _mds_groups(L, t)
     # out0 = sum_e row0[e] * elems[e]
     parts = [
-        _redc(L, _row_dot_cols(L, elems, row0, js), p_limbs, n0inv)
+        _redc(L, _row_dot_cols(L, elems, row0, js), p_limbs, n0inv, final_norm)
         for js in groups
     ]
-    out = [parts[0] if len(parts) == 1 else _norm1(_sum_limbs(parts))]
+    out = [
+        parts[0]
+        if len(parts) == 1
+        else (sum_norm or _norm1)(_sum_limbs(parts))
+    ]
     # out[i] = col0[i-1] * x0 + x_i
     x0 = elems[0]
     for i in range(1, t):
         prod = _redc(
-            L, _row_dot_cols(L, [x0], [col0[i - 1]], [0]), p_limbs, n0inv
+            L, _row_dot_cols(L, [x0], [col0[i - 1]], [0]), p_limbs, n0inv,
+            final_norm,
         )
         out.append([a + b for a, b in zip(prod, elems[i])])  # limbs <= 2^13
     return out
 
 
-def _mds_groups(L, t, max_group=None):
+QUASI_LIMB_MAX = (1 << LIMB_BITS) + 128  # 2-pass _relaxed_norm output bound
+
+
+def _mds_groups(L, t, max_group=None, quasi=False):
     """Partition of the MDS dot indices 0..t-1 into lazy-accumulation groups.
 
     A shared REDC over g accumulated products has columns holding up to
@@ -296,8 +344,20 @@ def _mds_groups(L, t, max_group=None):
     (canonical limbs, <= ceil(t/g) * 2^12) and renormalized.
     ``max_group`` forces a smaller group purely so CI can exercise the
     grouped path at tiny L.
+
+    ``quasi=True`` tightens the budget for the relaxed-norm kernel, whose
+    element limbs are <= QUASI_LIMB_MAX instead of < 2^12: schoolbook
+    addends are then <= QUASI_LIMB_MAX * (2^12 - 1) each (constants stay
+    canonical), so g*L * QUASI_LIMB_MAX * cmax + (L-1) * cmax^2 < 2^31
+    (at L = 22 this still yields g = 4 — identical grouping to the exact
+    kernel for every production config).
     """
-    g = (128 - L) // L
+    if quasi:
+        cmax = (1 << LIMB_BITS) - 1
+        num = (1 << 31) - (L - 1) * cmax * cmax - (1 << 24)  # 2^24 slack
+        g = num // (QUASI_LIMB_MAX * cmax) // L
+    else:
+        g = (128 - L) // L
     if max_group is not None:
         g = min(g, max_group)
     if g < 1:
@@ -313,21 +373,32 @@ def _sum_limbs(parts):
     return out
 
 
-def _mds_apply(L, t, elems, mds_ints, p_limbs, n0inv, groups=None):
+def _mds_apply(
+    L, t, elems, mds_ints, p_limbs, n0inv, groups=None, final_norm=None,
+    sum_norm=None,
+):
     """new[i] = sum_j mds[i][j] * elems[j], with lazy column accumulation.
 
     Products within one group share a single REDC (bound analysis in
     ``_mds_groups``); multi-group rows sum their reduced parts and
-    renormalize, so the output is always canonical.
+    renormalize, so the output is always canonical (quasi-canonical in the
+    relaxed kernel).
     """
     groups = groups or _mds_groups(L, t)
     out = []
     for i in range(t):
         parts = [
-            _redc(L, _mds_row_cols(L, t, elems, mds_ints[i], js), p_limbs, n0inv)
+            _redc(
+                L, _mds_row_cols(L, t, elems, mds_ints[i], js), p_limbs,
+                n0inv, final_norm,
+            )
             for js in groups
         ]
-        out.append(parts[0] if len(parts) == 1 else _norm1(_sum_limbs(parts)))
+        out.append(
+            parts[0]
+            if len(parts) == 1
+            else (sum_norm or _norm1)(_sum_limbs(parts))
+        )
     return out
 
 
@@ -352,7 +423,10 @@ def _mds_row_cols(L, t, elems, row_ints, js=None):
     return cols
 
 
-def _mds_apply_multi(L, t, elems, mds_ints, p_limbs, n0inv, groups=None):
+def _mds_apply_multi(
+    L, t, elems, mds_ints, p_limbs, n0inv, groups=None, final_norm=None,
+    sum_norm=None,
+):
     """_mds_apply with the t output-row REDC chains interleaved."""
     groups = groups or _mds_groups(L, t)
     parts = [[] for _ in range(t)]
@@ -362,12 +436,13 @@ def _mds_apply_multi(L, t, elems, mds_ints, p_limbs, n0inv, groups=None):
             [_mds_row_cols(L, t, elems, mds_ints[i], js) for i in range(t)],
             p_limbs,
             n0inv,
+            final_norm,
         )
         for i in range(t):
             parts[i].append(red[i])
     if len(groups) == 1:
         return [parts[i][0] for i in range(t)]
-    return _norm1_multi([_sum_limbs(parts[i]) for i in range(t)])
+    return (sum_norm or _norm1_multi)([_sum_limbs(parts[i]) for i in range(t)])
 
 
 def _sparse_cols_list(L, t, elems, row0, col0, groups=None):
@@ -394,14 +469,14 @@ def _sparse_cols_list(L, t, elems, row0, col0, groups=None):
     return cols_list
 
 
-def _sparse_combine(L, t, reduced, elems, n_groups):
+def _sparse_combine(L, t, reduced, elems, n_groups, sum_norm=None):
     """Recombine the _redc_multi outputs of a _sparse_cols_list: sum (and, if
     grouped, renormalize) the row0-dot parts, add elems into the column
     products (limbs <= 2^13, renormalized by the next round's constant-add)."""
     if n_groups == 1:
         out0 = reduced[0]
     else:
-        out0 = _norm1(_sum_limbs(reduced[:n_groups]))
+        out0 = (sum_norm or _norm1)(_sum_limbs(reduced[:n_groups]))
     out = [out0]
     for i in range(1, t):
         out.append(
@@ -410,19 +485,23 @@ def _sparse_combine(L, t, reduced, elems, n_groups):
     return out
 
 
-def _sparse_apply_multi(L, t, elems, row0, col0, p_limbs, n0inv, groups=None):
+def _sparse_apply_multi(
+    L, t, elems, row0, col0, p_limbs, n0inv, groups=None, final_norm=None,
+    sum_norm=None,
+):
     """_sparse_apply with the row0-dot REDC(s) and the t-1 column-product REDCs
     interleaved (they are mutually independent)."""
     groups = groups or _mds_groups(L, t)
     reduced = _redc_multi(
-        L, _sparse_cols_list(L, t, elems, row0, col0, groups), p_limbs, n0inv
+        L, _sparse_cols_list(L, t, elems, row0, col0, groups), p_limbs, n0inv,
+        final_norm,
     )
-    return _sparse_combine(L, t, reduced, elems, len(groups))
+    return _sparse_combine(L, t, reduced, elems, len(groups), sum_norm)
 
 
 def _permute_kernel_streams(
     ark_ref, popt_ref, state_ref, out_ref, *, cfg, optimized, lane_streams,
-    mds_group=None,
+    mds_group=None, relaxed=False,
 ):
     """Lane-stream-interleaved kernel: the batch tile is split into
     ``lane_streams`` independent sub-tiles along the sublane axis, advanced in
@@ -434,6 +513,12 @@ def _permute_kernel_streams(
     have no element-level parallelism to exploit.  Motivated by
     bench/latency_probe.py: a dependent modmul chain on one (8,128) tile runs
     1.75x slower than two interleaved independent chains.
+
+    ``relaxed=True`` substitutes the chain-free epsilon-redundant
+    normalization (``_relaxed_norm_multi``) at every REDC tail and add site,
+    keeping element limbs quasi-canonical (<= 2^12 + 128) between rounds and
+    canonicalizing exactly once at kernel exit — the sequential ``_norm1``
+    carry chains disappear from the round schedule entirely.
     """
     fs = cfg.field
     L = fs.nlimbs
@@ -446,8 +531,14 @@ def _permute_kernel_streams(
         tuple(tuple(int(v) for v in fs.int_to_mont_limbs(c)) for c in row)
         for row in cfg.mds
     )
-    groups = _mds_groups(L, t, mds_group)
+    groups = _mds_groups(L, t, mds_group, quasi=relaxed)
     G = len(groups)
+    if relaxed:
+        tail_norm_multi = functools.partial(_relaxed_norm_multi, passes=2)
+        small_norm_multi = functools.partial(_relaxed_norm_multi, passes=1)
+    else:
+        tail_norm_multi = None  # helpers default to the exact _norm1_multi
+        small_norm_multi = _norm1_multi
 
     st4_init = state_ref[:]
     S = st4_init.shape[2]
@@ -480,13 +571,14 @@ def _permute_kernel_streams(
                 [sts[s][e][l] + ref[r, e * L + l] for l in range(L)]
                 for s in range(ns)
             ]
-            normed = _norm1_multi(added)
+            normed = small_norm_multi(added)
             for s in range(ns):
                 sts[s][e] = normed[s]
 
     def sbox_streams(sts, e):
         outs = _pow_alpha_multi(
-            L, [sts[s][e] for s in range(ns)], cfg.alpha, p_limbs, n0inv
+            L, [sts[s][e] for s in range(ns)], cfg.alpha, p_limbs, n0inv,
+            tail_norm_multi,
         )
         for s in range(ns):
             sts[s][e] = outs[s]
@@ -504,6 +596,7 @@ def _permute_kernel_streams(
                     ],
                     p_limbs,
                     n0inv,
+                    tail_norm_multi,
                 )
                 for s in range(ns):
                     parts[s].append(red[s])
@@ -511,7 +604,9 @@ def _permute_kernel_streams(
                 for s in range(ns):
                     news[s][i] = parts[s][0]
             else:
-                normed = _norm1_multi([_sum_limbs(parts[s]) for s in range(ns)])
+                normed = small_norm_multi(
+                    [_sum_limbs(parts[s]) for s in range(ns)]
+                )
                 for s in range(ns):
                     news[s][i] = normed[s]
         return news
@@ -569,7 +664,8 @@ def _permute_kernel_streams(
             reduced = [[] for _ in range(ns)]
             for idx in range(G + t - 1):
                 red = _redc_multi(
-                    L, [per_stream[s][idx] for s in range(ns)], p_limbs, n0inv
+                    L, [per_stream[s][idx] for s in range(ns)], p_limbs, n0inv,
+                    tail_norm_multi,
                 )
                 for s in range(ns):
                     reduced[s].append(red[s])
@@ -577,7 +673,7 @@ def _permute_kernel_streams(
                 for s in range(ns):
                     sts[s][0] = reduced[s][0]
             else:
-                normed = _norm1_multi(
+                normed = small_norm_multi(
                     [_sum_limbs(reduced[s][:G]) for s in range(ns)]
                 )
                 for s in range(ns):
@@ -594,7 +690,7 @@ def _permute_kernel_streams(
 
         sts = unpack_streams(st4)
         for e in range(t):
-            normed = _norm1_multi([sts[s][e] for s in range(ns)])
+            normed = small_norm_multi([sts[s][e] for s in range(ns)])
             for s in range(ns):
                 sts[s][e] = normed[s]
         st4 = pack_streams(mds_streams(sts, d_ints))
@@ -602,18 +698,28 @@ def _permute_kernel_streams(
     st4 = jax.lax.fori_loop(
         half + cfg.partial_rounds, cfg.rounds, lambda r, s: round_body(r, s, True), st4
     )
+    if relaxed:
+        # Exit canonicalization: one exact sequential pass restores the
+        # canonical-limb output contract (values are < 4.1p << R, so _norm1
+        # is exact on quasi-canonical limbs).
+        sts = unpack_streams(st4)
+        flat = _norm1_multi([sts[s][e] for s in range(ns) for e in range(t)])
+        for s in range(ns):
+            for e in range(t):
+                sts[s][e] = flat[s * t + e]
+        st4 = pack_streams(sts)
     out_ref[:] = st4
 
 
 def _permute_kernel(
     ark_ref, popt_ref, state_ref, out_ref, *, cfg, optimized, pipelined=False,
-    lane_streams=1, mds_group=None,
+    lane_streams=1, mds_group=None, relaxed=False,
 ):
     if lane_streams > 1:
         return _permute_kernel_streams(
             ark_ref, popt_ref, state_ref, out_ref,
             cfg=cfg, optimized=optimized, lane_streams=lane_streams,
-            mds_group=mds_group,
+            mds_group=mds_group, relaxed=relaxed,
         )
     fs = cfg.field
     L = fs.nlimbs
@@ -626,7 +732,16 @@ def _permute_kernel(
         tuple(tuple(int(v) for v in fs.int_to_mont_limbs(c)) for c in row)
         for row in cfg.mds
     )
-    groups = _mds_groups(L, t, mds_group)
+    groups = _mds_groups(L, t, mds_group, quasi=relaxed)
+    if relaxed:
+        tail_norm = functools.partial(_relaxed_norm, passes=2)
+        tail_norm_multi = functools.partial(_relaxed_norm_multi, passes=2)
+        small_norm = functools.partial(_relaxed_norm, passes=1)
+        small_norm_multi = functools.partial(_relaxed_norm_multi, passes=1)
+    else:
+        tail_norm = tail_norm_multi = None  # helpers default to exact norms
+        small_norm = _norm1
+        small_norm_multi = _norm1_multi
 
     def unpack(st4):
         return [[st4[e, l] for l in range(L)] for e in range(t)]
@@ -636,26 +751,38 @@ def _permute_kernel(
 
     def ark_norm(elems, r, ref=None):
         """ARK add (SMEM scalars indexed by round) + renorm so every multiplier
-        input is canonical; chain-interleaved when pipelined."""
+        input is canonical (quasi-canonical when relaxed); chain-interleaved
+        when pipelined."""
         ref = ark_ref if ref is None else ref
         added = [
             [elems[e][l] + ref[r, e * L + l] for l in range(L)] for e in range(t)
         ]
         if pipelined:
-            return _norm1_multi(added)
-        return [_norm1(row) for row in added]
+            return small_norm_multi(added)
+        return [small_norm(row) for row in added]
 
     def round_body(r, st4, full: bool):
         elems = ark_norm(unpack(st4), r)
         if full:
             if pipelined:
-                elems = _pow_alpha_multi(L, elems, cfg.alpha, p_limbs, n0inv)
+                elems = _pow_alpha_multi(
+                    L, elems, cfg.alpha, p_limbs, n0inv, tail_norm_multi
+                )
             else:
-                elems = [_pow_alpha(L, x, cfg.alpha, p_limbs, n0inv) for x in elems]
+                elems = [
+                    _pow_alpha(L, x, cfg.alpha, p_limbs, n0inv, tail_norm)
+                    for x in elems
+                ]
         else:
-            elems[0] = _pow_alpha(L, elems[0], cfg.alpha, p_limbs, n0inv)
+            elems[0] = _pow_alpha(L, elems[0], cfg.alpha, p_limbs, n0inv, tail_norm)
         mds = _mds_apply_multi if pipelined else _mds_apply
-        return pack(mds(L, t, elems, mds_ints, p_limbs, n0inv, groups))
+        return pack(
+            mds(
+                L, t, elems, mds_ints, p_limbs, n0inv, groups,
+                final_norm=tail_norm_multi if pipelined else tail_norm,
+                sum_norm=small_norm_multi if pipelined else small_norm,
+            )
+        )
 
     half = cfg.full_rounds // 2
     st4 = state_ref[:]
@@ -681,7 +808,7 @@ def _permute_kernel(
 
         # First partial round: original ark row (index half), sbox0 only.
         elems = ark_norm(unpack(st4), half)
-        elems[0] = _pow_alpha(L, elems[0], cfg.alpha, p_limbs, n0inv)
+        elems[0] = _pow_alpha(L, elems[0], cfg.alpha, p_limbs, n0inv, tail_norm)
         st4 = pack(elems)
 
         def opt_body(r, s4):
@@ -696,23 +823,38 @@ def _permute_kernel(
                 for i in range(t - 1)
             ]
             sparse = _sparse_apply_multi if pipelined else _sparse_apply
-            els = sparse(L, t, els, row0, col0, p_limbs, n0inv, groups)
-            els[0] = _pow_alpha(L, els[0], cfg.alpha, p_limbs, n0inv)
+            els = sparse(
+                L, t, els, row0, col0, p_limbs, n0inv, groups,
+                final_norm=tail_norm_multi if pipelined else tail_norm,
+                sum_norm=small_norm_multi if pipelined else small_norm,
+            )
+            els[0] = _pow_alpha(L, els[0], cfg.alpha, p_limbs, n0inv, tail_norm)
             return pack(els)
 
         st4 = jax.lax.fori_loop(0, cfg.partial_rounds - 1, opt_body, st4)
 
         # Final accumulated dense matrix D (inputs renormalized first: the last
         # sparse apply leaves 2^13 limbs, and the dense column bound needs
-        # canonical inputs).
+        # canonical — or quasi-canonical — inputs).
         up = unpack(st4)
-        elems = _norm1_multi(up) if pipelined else [_norm1(limbs) for limbs in up]
+        elems = (
+            small_norm_multi(up) if pipelined else [small_norm(limbs) for limbs in up]
+        )
         mds = _mds_apply_multi if pipelined else _mds_apply
-        st4 = pack(mds(L, t, elems, d_ints, p_limbs, n0inv, groups))
+        st4 = pack(
+            mds(
+                L, t, elems, d_ints, p_limbs, n0inv, groups,
+                final_norm=tail_norm_multi if pipelined else tail_norm,
+                sum_norm=small_norm_multi if pipelined else small_norm,
+            )
+        )
 
     st4 = jax.lax.fori_loop(
         half + cfg.partial_rounds, cfg.rounds, lambda r, s: round_body(r, s, True), st4
     )
+    if relaxed:
+        # Exit canonicalization (see _permute_kernel_streams).
+        st4 = pack(_norm1_multi(unpack(st4)))
     out_ref[:] = st4
 
 
@@ -725,6 +867,7 @@ def cios_permute_fn(
     pipelined: bool = False,
     lane_streams: int | None = None,
     mds_group: int | None = None,
+    relaxed: bool = True,
 ):
     """Jitted CIOS permutation: (t, L, B) -> (t, L, B), B % (sublanes*128) == 0.
 
@@ -733,6 +876,13 @@ def cios_permute_fn(
     ``_permute_kernel_streams``); requires ``sublanes % (8 * k) == 0``.
     Default (``None``): 2 when the tile allows it — the fastest measured shape
     (docs/DESIGN.md §6) — else 1.
+
+    ``relaxed=True`` (production default) replaces every in-round sequential
+    carry normalization with the chain-free epsilon-redundant form
+    (``_relaxed_norm_multi``); measured on v5e at B=2^20: 6.89M vs 6.84M
+    perms/s at the default 16:2 tile, and +10% (6.57M vs 5.96M) at the
+    1-stream fallback shape where carry-chain latency is exposed
+    (bench/relaxed_probe.py; oracle parity enforced for both modes).
 
     Any state width is supported: MDS dots wider than the lazy-REDC int32
     budget (t*L + L - 1 >= 128, i.e. t >= 5 at L = 22) split into accumulation
@@ -751,7 +901,8 @@ def cios_permute_fn(
     t = cfg.t
     R = cfg.rounds
     tile_lanes = sublanes * 128
-    _mds_groups(L, t, mds_group)  # raises if L itself exceeds the int32 budget
+    # Raises if L itself exceeds the int32 budget (quasi budget when relaxed).
+    _mds_groups(L, t, mds_group, quasi=relaxed)
     ark_np = np.stack(
         [
             np.concatenate([fs.int_to_mont_limbs(c) for c in row])
@@ -779,7 +930,7 @@ def cios_permute_fn(
 
     kernel = functools.partial(
         _permute_kernel, cfg=cfg, optimized=optimized, pipelined=pipelined,
-        lane_streams=lane_streams, mds_group=mds_group,
+        lane_streams=lane_streams, mds_group=mds_group, relaxed=relaxed,
     )
 
     @jax.jit

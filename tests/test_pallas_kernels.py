@@ -151,7 +151,7 @@ class _FakeRef:
 
 def _run_cios_kernel_body(
     cfg, optimized, B=256, stride=85, pipelined=False, lane_streams=1,
-    mds_group=None,
+    mds_group=None, relaxed=False,
 ):
     """Run _permute_kernel itself (mock refs, CPU) against the oracle."""
     from sponge_tpu.ops import pallas_cios as pc
@@ -189,7 +189,7 @@ def _run_cios_kernel_body(
         pc._permute_kernel(
             _FakeRef(ark), _FakeRef(popt), _FakeRef(st), out_ref,
             cfg=cfg, optimized=optimized, pipelined=pipelined,
-            lane_streams=lane_streams, mds_group=mds_group,
+            lane_streams=lane_streams, mds_group=mds_group, relaxed=relaxed,
         )
         return out_ref.arr
 
@@ -255,6 +255,61 @@ def test_cios_kernel_body_grouped_mds(optimized, variant):
         pipelined=(variant == "pipelined"),
         lane_streams=2 if variant == "streams" else 1,
     )
+
+
+@pytest.mark.parametrize(
+    "variant", ["serial", "pipelined", "streams"], ids=["serial", "pipelined", "streams"]
+)
+@pytest.mark.parametrize("optimized", [False, True], ids=["dense", "sparse-opt"])
+def test_cios_kernel_body_relaxed_norm(optimized, variant):
+    """The relaxed (chain-free epsilon-redundant normalization) kernel matches
+    the oracle bit-for-bit in all three emission variants: quasi-canonical
+    limbs between rounds, exact canonicalization at kernel exit."""
+    from conftest import tiny_poseidon_config
+
+    cfg = tiny_poseidon_config(full_rounds=8, partial_rounds=8, alpha=17, seed=11)
+    _run_cios_kernel_body(
+        cfg, optimized, stride=31, relaxed=True,
+        pipelined=(variant == "pipelined"),
+        lane_streams=2 if variant == "streams" else 1,
+    )
+
+
+@pytest.mark.parametrize("optimized", [False, True], ids=["dense", "sparse-opt"])
+def test_cios_kernel_body_relaxed_grouped_mds(optimized):
+    """Relaxed norm combined with grouped lazy-MDS accumulation (the wide-state
+    path, with its tightened quasi-limb int32 budget)."""
+    from conftest import tiny_poseidon_config
+
+    cfg = tiny_poseidon_config(t=5, full_rounds=4, partial_rounds=5, alpha=5, seed=13)
+    _run_cios_kernel_body(
+        cfg, optimized, stride=37, mds_group=2, relaxed=True, lane_streams=2
+    )
+
+
+def test_relaxed_norm_exactness():
+    """_relaxed_norm preserves the represented value exactly and lands limbs
+    within the QUASI_LIMB_MAX bound, for REDC-tail-sized random inputs."""
+    from sponge_tpu.ops.pallas_cios import (
+        QUASI_LIMB_MAX,
+        _relaxed_norm,
+    )
+    from sponge_tpu.fields import LIMB_BITS
+
+    rng = np.random.default_rng(7)
+    L = 22
+    for _ in range(50):
+        # Value must stay < 2^(12L) (the kernel invariant): build limbs whose
+        # total value is bounded like a REDC tail (< ~2^258 here).
+        limbs = [int(v) for v in rng.integers(0, 1 << 30, size=L)]
+        limbs[-1] = int(rng.integers(0, 32))
+        limbs[-2] = int(rng.integers(0, 1 << 17))
+        value = sum(v << (LIMB_BITS * k) for k, v in enumerate(limbs))
+        out = _relaxed_norm([jnp.asarray([v]) for v in limbs], passes=2)
+        out_ints = [int(np.asarray(o)[0]) for o in out]
+        assert all(0 <= v <= QUASI_LIMB_MAX for v in out_ints), out_ints
+        got = sum(v << (LIMB_BITS * k) for k, v in enumerate(out_ints))
+        assert got == value
 
 
 @pytest.mark.skipif(
