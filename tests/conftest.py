@@ -22,8 +22,11 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 
 # Persistent compilation cache: the permutation takes 30-40 s to compile on CPU;
-# cache it across test runs so only the first invocation pays.
-jax.config.update("jax_compilation_cache_dir", "/tmp/sponge_tpu_jax_cache")
+# cache it across test runs so only the first invocation pays.  The directory
+# is PRIVATE to the test suite (bench probes use /tmp/sponge_tpu_jax_cache):
+# concurrent writers from two processes have been observed to segfault inside
+# the jax cache-write path (zstandard), killing the run.
+jax.config.update("jax_compilation_cache_dir", "/tmp/sponge_tpu_jax_cache_tests")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 jax.config.update("jax_persistent_cache_enable_xla_caches", "all")
 
