@@ -472,11 +472,20 @@ def _sparse_cols_list(L, t, elems, row0, col0, groups=None):
 def _sparse_combine(L, t, reduced, elems, n_groups, sum_norm=None):
     """Recombine the _redc_multi outputs of a _sparse_cols_list: sum (and, if
     grouped, renormalize) the row0-dot parts, add elems into the column
-    products (limbs <= 2^13, renormalized by the next round's constant-add)."""
+    products (limbs <= 2^13, renormalized by the next round's constant-add).
+
+    ``sum_norm`` is a MULTI-list normalizer (``_norm1_multi`` /
+    ``_relaxed_norm_multi``): this helper is only reached from
+    ``_sparse_apply_multi``, i.e. the chain-interleaved (pipelined) emission,
+    whose callers always thread the multi variant.  (Round-2 regression: the
+    relaxed-norm commit applied the multi normalizer to a bare limb list here,
+    crashing every pipelined+grouped trace — see tests
+    ``test_cios_kernel_body_grouped_mds[*-pipelined]`` and the config fuzzer.)
+    """
     if n_groups == 1:
         out0 = reduced[0]
     else:
-        out0 = (sum_norm or _norm1)(_sum_limbs(reduced[:n_groups]))
+        out0 = (sum_norm or _norm1_multi)([_sum_limbs(reduced[:n_groups])])[0]
     out = [out0]
     for i in range(1, t):
         out.append(

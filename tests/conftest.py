@@ -23,11 +23,13 @@ jax.config.update("jax_platforms", "cpu")
 
 # Persistent compilation cache: the permutation takes 30-40 s to compile on CPU;
 # cache it across test runs so only the first invocation pays.  The directory
-# is PRIVATE to the test suite (bench probes use /tmp/sponge_tpu_jax_cache):
-# concurrent writers from two processes have been observed to segfault inside
-# the jax cache-write path (zstandard), killing the run.
-jax.config.update("jax_compilation_cache_dir", "/tmp/sponge_tpu_jax_cache_tests")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# is PRIVATE to the test suite (bench probes use /tmp/sponge_tpu_jax_cache).
+# configure_cache also disables zstd compression: the zstandard C backend
+# segfaults on this box (observed in both the cache read and write paths,
+# each crash killing a full suite run); the zlib fallback is stable.
+from sponge_tpu.utils.jaxcache import configure_cache  # noqa: E402
+
+configure_cache("/tmp/sponge_tpu_jax_cache_tests")
 jax.config.update("jax_persistent_cache_enable_xla_caches", "all")
 
 import numpy as _np  # noqa: E402
@@ -42,6 +44,11 @@ from sponge_tpu.poseidon.config import PoseidonConfig  # noqa: E402
 # (same round schedule, same CIOS/REDC/sparse-opt code paths).
 TINY_FR = FieldSpec(name="tiny_fr_35", modulus=(1 << 35) - 31, generator=3)
 
+# Second tiny field at a different limb count (4 limbs vs 3): the kernel config
+# fuzzer (test_fuzz_kernel_configs.py) draws over both so column-count-dependent
+# bookkeeping (schoolbook width 2L, REDC chain length) is exercised at two L.
+TINY_FR_45 = FieldSpec(name="tiny_fr_45", modulus=(1 << 45) - 55, generator=3)
+
 
 def tiny_poseidon_config(
     t: int = 3,
@@ -49,6 +56,7 @@ def tiny_poseidon_config(
     partial_rounds: int = 3,
     alpha: int = 5,
     seed: int = 7,
+    field: FieldSpec = TINY_FR,
 ) -> PoseidonConfig:
     """Deterministic small Poseidon config over TINY_FR.
 
@@ -57,7 +65,7 @@ def tiny_poseidon_config(
     for kernel-parity tests.
     """
     rng = _np.random.default_rng(seed)
-    p = TINY_FR.modulus
+    p = field.modulus
     rounds = full_rounds + partial_rounds
 
     def draw():
@@ -66,7 +74,7 @@ def tiny_poseidon_config(
     ark = tuple(tuple(draw() for _ in range(t)) for _ in range(rounds))
     mds = tuple(tuple(draw() for _ in range(t)) for _ in range(t))
     return PoseidonConfig(
-        field=TINY_FR,
+        field=field,
         full_rounds=full_rounds,
         partial_rounds=partial_rounds,
         alpha=alpha,

@@ -275,15 +275,22 @@ def test_cios_kernel_body_relaxed_norm(optimized, variant):
     )
 
 
+@pytest.mark.parametrize(
+    "variant", ["serial", "pipelined", "streams"], ids=["serial", "pipelined", "streams"]
+)
 @pytest.mark.parametrize("optimized", [False, True], ids=["dense", "sparse-opt"])
-def test_cios_kernel_body_relaxed_grouped_mds(optimized):
+def test_cios_kernel_body_relaxed_grouped_mds(optimized, variant):
     """Relaxed norm combined with grouped lazy-MDS accumulation (the wide-state
-    path, with its tightened quasi-limb int32 budget)."""
+    path, with its tightened quasi-limb int32 budget), in all three emission
+    variants.  The pipelined cell is the round-2 regression's untested sibling
+    (relaxed + pipelined + grouped hit the same ``_sparse_combine`` bug)."""
     from conftest import tiny_poseidon_config
 
     cfg = tiny_poseidon_config(t=5, full_rounds=4, partial_rounds=5, alpha=5, seed=13)
     _run_cios_kernel_body(
-        cfg, optimized, stride=37, mds_group=2, relaxed=True, lane_streams=2
+        cfg, optimized, stride=37, mds_group=2, relaxed=True,
+        pipelined=(variant == "pipelined"),
+        lane_streams=2 if variant == "streams" else 1,
     )
 
 
