@@ -108,8 +108,8 @@ def measure_perms_per_sec(log_batch: int = 20, reps: int = 8) -> float:
     # Persistent compilation cache: first-ever run pays the (slow, remote for
     # axon) TPU compile; subsequent bench invocations reuse it.
     try:
-        jax.config.update("jax_compilation_cache_dir", "/tmp/sponge_tpu_jax_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        from sponge_tpu.utils.jaxcache import configure_cache
+        configure_cache("/tmp/sponge_tpu_jax_cache")
     except Exception:
         pass
 

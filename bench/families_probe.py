@@ -53,8 +53,8 @@ def _time_perms(fn, first_out, B, iters):
 
 
 def main():
-    jax.config.update("jax_compilation_cache_dir", "/tmp/sponge_tpu_jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from sponge_tpu.utils.jaxcache import configure_cache
+    configure_cache("/tmp/sponge_tpu_jax_cache")
 
     from sponge_tpu import (
         BLS12_381_FR as FR,

@@ -23,8 +23,8 @@ import jax.numpy as jnp
 
 
 def main():
-    jax.config.update("jax_compilation_cache_dir", "/tmp/sponge_tpu_jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from sponge_tpu.utils.jaxcache import configure_cache
+    configure_cache("/tmp/sponge_tpu_jax_cache")
 
     from sponge_tpu import (
         GOLDILOCKS_FR as GL,

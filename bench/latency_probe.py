@@ -37,8 +37,8 @@ TILE = SUBLANES * 128
 
 
 def main():
-    jax.config.update("jax_compilation_cache_dir", "/tmp/sponge_tpu_jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from sponge_tpu.utils.jaxcache import configure_cache
+    configure_cache("/tmp/sponge_tpu_jax_cache")
 
     from sponge_tpu import BLS12_381_FR as fs
     from sponge_tpu.ops import montgomery as mont

@@ -26,8 +26,8 @@ import jax.numpy as jnp
 
 def main():
     rate = int(sys.argv[1]) if len(sys.argv) > 1 else 2
-    jax.config.update("jax_compilation_cache_dir", "/tmp/sponge_tpu_jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from sponge_tpu.utils.jaxcache import configure_cache
+    configure_cache("/tmp/sponge_tpu_jax_cache")
 
     import bench as root_bench
     from sponge_tpu import BLS12_381_FR as fs

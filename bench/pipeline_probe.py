@@ -31,8 +31,9 @@ def main():
     ap.add_argument("--reps", type=int, default=8)
     args = ap.parse_args()
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/sponge_tpu_jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from sponge_tpu.utils.jaxcache import configure_cache
+
+    configure_cache("/tmp/sponge_tpu_jax_cache")
 
     import bench as root_bench
     from sponge_tpu import BLS12_381_FR, get_default_poseidon_parameters

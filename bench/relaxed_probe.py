@@ -34,8 +34,9 @@ def main():
         (tuple(int(x) for x in a.split(":")) + (1,))[:3] for a in sys.argv[1:]
     ] or [(0, 16, 2), (1, 16, 2), (1, 16, 1)]
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/sponge_tpu_jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from sponge_tpu.utils.jaxcache import configure_cache
+
+    configure_cache("/tmp/sponge_tpu_jax_cache")
 
     import bench as root_bench
     from sponge_tpu import BLS12_381_FR, get_default_poseidon_parameters

@@ -26,8 +26,9 @@ import jax.numpy as jnp
 def main():
     rates = [int(a) for a in sys.argv[1:]] or [4, 8]
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/sponge_tpu_jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from sponge_tpu.utils.jaxcache import configure_cache
+
+    configure_cache("/tmp/sponge_tpu_jax_cache")
 
     from sponge_tpu import BLS12_381_FR, get_default_poseidon_parameters
     from sponge_tpu.ops.pallas_cios import cios_permute_fn
