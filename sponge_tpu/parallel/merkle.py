@@ -69,6 +69,49 @@ def sharded_merkle_root(
     return level[:, 0]
 
 
+def sharded_merkle_verify_batch(
+    cfg: PoseidonConfig,
+    root: jnp.ndarray,
+    leaves: jnp.ndarray,
+    paths: jnp.ndarray,
+    indices,
+    mesh: Mesh,
+    backend: str = "auto",
+) -> jnp.ndarray:
+    """``hash.merkle_verify_batch`` with the K proof-lane axis sharded.
+
+    Proof lanes are independent (each recomputes its own root from leaf +
+    sibling path), so verification is embarrassingly parallel over the mesh:
+    ``root`` is replicated, ``leaves`` (L, K) / ``paths`` (depth, L, K) /
+    ``indices`` (K,) split their lane axis, and each device runs the fused
+    depth-batched compression chain on its local K/D slice — ICI idle.
+    K must be divisible by the mesh size.
+    """
+    import numpy as np
+
+    from ..hash import _verify_batch_device
+
+    depth = paths.shape[0]
+    idx_np = np.asarray(indices, dtype=np.int64)
+    if idx_np.size and (idx_np.min() < 0 or idx_np.max() >= (1 << depth)):
+        raise IndexError(f"leaf index out of range for path depth {depth}")
+
+    def local(root_rep, leaves_c, paths_c, idx_c):
+        return _verify_batch_device(
+            cfg, root_rep, leaves_c, paths_c, idx_c, backend
+        )
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(None), P(None, DATA_AXIS), P(None, None, DATA_AXIS), P(DATA_AXIS)),
+        out_specs=P(DATA_AXIS),
+    )
+    return jax.jit(fn)(
+        root, leaves, paths, jnp.asarray(idx_np, dtype=jnp.int32)
+    )
+
+
 def sharded_merkle_root_wide(
     cfg: PoseidonConfig,
     leaves: jnp.ndarray,

@@ -287,3 +287,63 @@ def test_jive_compression_vs_oracle():
             nxt.append((cur[i] + cur[i + 1] + o.state[0] + o.state[1]) % fs.modulus)
         cur = nxt
     assert fs.mont_plane_to_ints(root[0][:, None])[0] == cur[0]
+
+
+def test_sharded_merkle_verify_batch_matches_local():
+    """Proof-lane-sharded batched verification (8-device mesh) == the
+    single-device merkle_verify_batch, incl. rejecting a tampered lane
+    (VERDICT r2 item 6: batched proof verify crossing shard_map)."""
+    from sponge_tpu.hash import merkle_open_batch, merkle_tree, merkle_verify_batch
+    from sponge_tpu.parallel import sharded_merkle_verify_batch
+
+    mesh = make_mesh(8)
+    N = 64
+    vals = rand_fr(N)
+    leaves = jnp.asarray(FR.ints_to_mont_plane(vals))
+    levels = merkle_tree(CFG, leaves)
+    root = levels[-1][:, 0]
+    idx = [0, 5, 9, 13, 21, 33, 47, 63, 1, 2, 62, 58, 17, 25, 40, 44]
+    paths = merkle_open_batch(levels, idx)
+    opened = jnp.take(leaves, jnp.asarray(idx, dtype=jnp.int32), axis=1)
+
+    ok_sharded = np.asarray(
+        sharded_merkle_verify_batch(CFG, root, opened, paths, idx, mesh)
+    )
+    ok_local = np.asarray(merkle_verify_batch(CFG, root, opened, paths, idx))
+    assert np.array_equal(ok_sharded, ok_local)
+    assert ok_sharded.all()
+
+    # Tamper one lane per device slice: sharded result flags exactly those.
+    bad = opened.at[0, 3].add(1)
+    ok_bad = np.asarray(
+        sharded_merkle_verify_batch(CFG, root, bad, paths, idx, mesh)
+    )
+    want = np.ones(len(idx), dtype=bool)
+    want[3] = False
+    assert np.array_equal(ok_bad, want)
+
+
+def test_sharded_merkle_root_wide_matches_local():
+    """Sharded wide-digest Merkle root (d-element digests, 8-device mesh,
+    narrow-tail cutover) == single-device merkle_root_wide."""
+    from sponge_tpu import GOLDILOCKS_FR, get_default_poseidon2_parameters
+    from sponge_tpu.hash import merkle_root_wide
+    from sponge_tpu.parallel import sharded_merkle_root_wide
+
+    fs = GOLDILOCKS_FR
+    cfg = get_default_poseidon2_parameters(fs, 8)
+    d = cfg.capacity
+    N = 64
+    rng = np.random.default_rng(23)
+    grid = [[int(v) % fs.modulus for v in rng.integers(0, 1 << 62, size=N)]
+            for _ in range(d)]
+    leaves = jnp.asarray(
+        np.stack([fs.ints_to_mont_plane(row) for row in grid], axis=0)
+    )
+    mesh = make_mesh(8)
+    root_sharded = np.asarray(sharded_merkle_root_wide(cfg, leaves, mesh))
+    root_local = np.asarray(merkle_root_wide(cfg, leaves))
+    for j in range(d):
+        assert fs.mont_limbs_to_int(root_sharded[j]) == fs.mont_limbs_to_int(
+            root_local[j]
+        )
