@@ -14,10 +14,12 @@ int32 Montgomery limb planes``.  TPU-native structure exploitation:
   scheme): exact for values up to R at ANY R/p headroom — no per-config
   value-bound gate.  Per-site deferred-limb bounds are noted inline.
 
-No Pallas tier: like the other wide-round-count families, each round is a
-serial chain of REDC-interleaved multiplies — the latency-bound regime
-where the fused CIOS kernel measured no gain over XLA (docs/DESIGN.md §8);
-the XLA tier IS the production tier.
+A fused Pallas tier exists for configs whose Montgomery headroom admits the
+full-deferral discipline (ops/pallas_gmimc.py: state resident in VMEM across
+all rounds, rest-branch adds never normalized) — measured against this XLA
+tier by bench/gmimc_kernel_probe.py; see docs/DESIGN.md §19 for the verdict.
+The XLA tier remains the fallback for low-headroom fields (31-bit: R/p = 32)
+and un-tiled batches.
 """
 
 from __future__ import annotations
@@ -78,10 +80,25 @@ def gmimc_permute_jit(cfg: GmimcConfig):
 
 
 def batched_gmimc_permute(cfg: GmimcConfig, state, backend: str = "auto"):
-    """Backend-dispatched GMiMC permutation (XLA tier on every backend;
-    see the module docstring for why no fused kernel exists)."""
-    if backend not in ("auto", "xla"):
+    """Backend-dispatched GMiMC permutation.
+
+    On TPU with a tile-aligned batch AND a config passing the full-deferral
+    value gate (``ops.pallas_gmimc._value_gate``: (2*rounds+6)*p < R — every
+    ~255-bit config and Goldilocks; 31-bit fields fail it), the fused
+    Pallas kernel runs with the state resident in VMEM for all rounds;
+    otherwise the XLA tier.  ``backend`` may force "gmimc_pallas" / "xla".
+    """
+    from ..ops.pallas_cios import TILE_LANES
+    from ..ops.pallas_gmimc import _value_gate, gmimc_permute_fn
+
+    if backend not in ("auto", "xla", "gmimc_pallas"):
         raise ValueError(f"unknown backend {backend!r} for GMiMC")
+    B = state.shape[-1]
+    on_tpu = jax.default_backend() == "tpu"
+    if backend == "gmimc_pallas" or (
+        backend == "auto" and on_tpu and B % TILE_LANES == 0 and _value_gate(cfg)
+    ):
+        return gmimc_permute_fn(cfg)(state)
     return gmimc_permute_jit(cfg)(state)
 
 

@@ -221,3 +221,86 @@ def test_host_gmimc_vs_oracle():
         assert sq == want, fs.name
         assert st.state == o2.state and st.mode == o2.mode
         assert st.index == o2.index
+
+
+# ---- fused Pallas kernel body (ops/pallas_gmimc.py) ----
+
+def _tiny_headroom_gmimc_config(t=3, alpha=5, rounds=30, seed=21):
+    """GMiMC config over a 25-bit, 3-limb field whose R/p headroom (2^11)
+    admits the kernel's full-deferral value bound at CI-sized round counts
+    (the kernel gate needs (2*rounds+6)*p < R)."""
+    from sponge_tpu.fields import FieldSpec
+
+    fs = FieldSpec(name="tiny_fr_25", modulus=(1 << 25) - 39, generator=3)
+    rng = np.random.default_rng(seed)
+    rc = tuple(int(v) % fs.modulus for v in rng.integers(0, 1 << 62, size=rounds))
+    return GmimcConfig(
+        field=fs, rounds=rounds, alpha=alpha, rc=rc, rate=t - 1, capacity=1
+    )
+
+
+@pytest.mark.parametrize("relaxed", [False, True], ids=["exact", "relaxed"])
+@pytest.mark.parametrize("lane_streams", [1, 2], ids=["1stream", "2streams"])
+def test_gmimc_kernel_body_vs_oracle(lane_streams, relaxed):
+    """The fused kernel body (mock refs, CPU) == the scalar oracle, incl. the
+    full-deferral rest-branch discipline and the exit canonicalization."""
+    import jax
+
+    from test_pallas_kernels import _FakeRef
+    from sponge_tpu.ops import pallas_gmimc as pg
+
+    cfg = _tiny_headroom_gmimc_config()
+    fs = cfg.field
+    t, L, B = cfg.t, fs.nlimbs, 256
+    vals = [rand_fr(fs, B, seed=31 + i) for i in range(t)]
+    st4 = jnp.asarray(
+        np.stack([fs.ints_to_mont_plane(row) for row in vals], axis=0)
+    ).reshape(t, L, B // 128, 128)
+    rc_np = np.stack([fs.int_to_mont_limbs(c) for c in cfg.rc]).astype(np.int32)
+
+    @jax.jit
+    def run(rc, st):
+        out_ref = _FakeRef(jnp.zeros_like(st))
+        pg._gmimc_kernel(
+            _FakeRef(rc), _FakeRef(st), out_ref,
+            cfg=cfg, lane_streams=lane_streams, relaxed=relaxed,
+        )
+        return out_ref.arr
+
+    out = np.asarray(run(rc_np, st4)).reshape(t, L, B)
+    for b in range(0, B, 61):
+        o = OracleGmimcSponge(cfg)
+        o.state = [vals[i][b] for i in range(t)]
+        o.permute()
+        got = [fs.mont_limbs_to_int(out[i][:, b]) for i in range(t)]
+        assert got == o.state, b
+
+
+def test_gmimc_kernel_value_gate():
+    """The fused kernel refuses configs whose headroom cannot carry the
+    full-deferral value bound (31-bit fields: R/p = 32 at L = 3), and the
+    dispatch falls back to the XLA tier rather than erroring."""
+    from sponge_tpu.gmimc.permutation import batched_gmimc_permute
+    from sponge_tpu.ops.pallas_gmimc import _value_gate, gmimc_permute_fn
+
+    m31_cfg = generate_gmimc_parameters(M31, 8, capacity=8, rounds=20)
+    assert not _value_gate(m31_cfg)
+    with pytest.raises(ValueError, match="value|bound|needs"):
+        gmimc_permute_fn(m31_cfg)
+    # BLS12-381 (2^9 headroom, 226 rounds) and Goldilocks (2^8 headroom at
+    # the 6-limb layout, 62 rounds) both pass.
+    assert _value_gate(CFG)
+    assert _value_gate(get_default_gmimc_parameters(GL, 4))
+
+    # auto dispatch on CPU: XLA tier, still oracle-exact.
+    B = 4
+    vals = [rand_fr(M31, B, seed=41 + i) for i in range(m31_cfg.t)]
+    state = jnp.asarray(
+        np.stack([M31.ints_to_mont_plane(row) for row in vals], axis=0)
+    )
+    out = np.asarray(batched_gmimc_permute(m31_cfg, state))
+    for b in range(B):
+        o = OracleGmimcSponge(m31_cfg)
+        o.state = [vals[i][b] for i in range(m31_cfg.t)]
+        o.permute()
+        assert [M31.mont_limbs_to_int(out[i][:, b]) for i in range(m31_cfg.t)] == o.state
