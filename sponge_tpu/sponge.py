@@ -82,9 +82,32 @@ class PoseidonSponge:
 
     Squeeze outputs are lane-major: ``squeeze_native_field_elements(n)`` returns
     ``[B][n]`` ints, ``squeeze_bytes(n)`` returns ``[B]`` byte strings, etc.
+
+    Dispatch is segment-batched BY DEFAULT (``lazy=True``): absorbs queue
+    host-side and each squeeze flushes the pending ``[Absorb..., Squeeze]``
+    segment as ONE jitted program, cached by segment shape — a Fiat–Shamir
+    loop with stable per-iteration structure compiles once and then costs a
+    single device dispatch per iteration (~36x the step-by-step dispatch
+    pattern through a remote-tunneled TPU; BENCHMARKS.md "transcript
+    throughput").  Results are bit-for-bit identical to ``lazy=False`` (the
+    step-by-step eager path, kept for differential testing and for callers
+    that need ``.plane`` / ``.mode`` / ``.index`` to reflect every absorb
+    immediately — in lazy mode those attributes update at the next flush;
+    ``into_state()`` flushes).
     """
 
-    def __init__(self, cfg: PoseidonConfig, batch_size: int = 1):
+    #: Lazy mode flushes an absorb-only segment once this many element rows
+    #: are queued, so unbounded ``absorb_stream`` runs keep bounded host
+    #: memory while still batching dispatches.
+    FLUSH_ROWS = 256
+
+    def __init__(
+        self,
+        cfg: PoseidonConfig,
+        batch_size: int = 1,
+        lazy: bool = True,
+        backend: str = "auto",
+    ):
         self.cfg = cfg
         self.batch_size = batch_size
         # The device plane is padded to a power-of-two lane bucket (>= 8) so that
@@ -94,6 +117,9 @@ class PoseidonSponge:
         self.plane = zero_state(cfg, self._padded)  # (t, L, Bp), mod.rs:220
         self.mode = ABSORBING
         self.index = 0
+        self._lazy = lazy
+        self._backend = backend
+        self._pending: list = []  # queued (k, L, Bp) element planes (lazy mode)
 
     # ---- core duplex machinery over device planes ----
 
@@ -209,6 +235,11 @@ class PoseidonSponge:
                 raise ValueError("element plane batch axis must match batch_size")
             pad = self._padded - elems.shape[-1]
             elems = np.pad(np.asarray(elems), [(0, 0), (0, 0), (0, pad)])
+        if self._lazy:
+            self._pending.append(np.asarray(elems))
+            if sum(p.shape[0] for p in self._pending) >= self.FLUSH_ROWS:
+                self._flush(0)
+            return
         if self.mode == ABSORBING:
             absorb_index = self.index
             if absorb_index == self.cfg.rate:
@@ -219,10 +250,40 @@ class PoseidonSponge:
             self._permute()
             self._absorb_internal(0, elems)
 
+    # ---- lazy (segment-batched) dispatch ----
+
+    def _flush(self, squeeze_n: int = 0):
+        """Run all queued absorbs (plus an optional squeeze) as one jitted
+        segment (see class docstring).  Returns the squeezed canonical
+        ``(squeeze_n, L, Bp)`` plane, or None when ``squeeze_n == 0``."""
+        from .lazy import _segment_fn
+        from .transcript import Absorb, SqueezeNative
+
+        steps = tuple(Absorb(p.shape[0]) for p in self._pending)
+        if squeeze_n:
+            steps = steps + (SqueezeNative(squeeze_n),)
+        if not steps:
+            return None
+        fn, end_mode, end_index = _segment_fn(
+            self.cfg, steps, self.mode, self.index, self._backend
+        )
+        L = self.cfg.field.nlimbs
+        elems = (
+            np.concatenate(self._pending, axis=0)
+            if self._pending
+            else np.zeros((0, L, self._padded), dtype=np.int32)
+        )
+        self._pending = []
+        out, self.plane = fn(self.plane, jnp.asarray(elems))
+        self.mode, self.index = end_mode, end_index
+        return out if squeeze_n else None
+
     # ---- squeezes (mod.rs:256-341) ----
 
     def squeeze_native_plane(self, num: int) -> jnp.ndarray:
         """(num, L, B) *canonical* limb plane of squeezed native elements."""
+        if self._lazy:
+            return self._flush(num)[..., : self.batch_size]
         if self.mode == ABSORBING:
             self._permute()
             out_mont = self._squeeze_internal(0, num)
@@ -336,17 +397,22 @@ class PoseidonSponge:
         return new
 
     def clone(self) -> "PoseidonSponge":
-        new = PoseidonSponge.__new__(PoseidonSponge)
+        new = type(self).__new__(type(self))
         new.cfg = self.cfg
         new.batch_size = self.batch_size
         new._padded = self._padded
         new.plane = self.plane
         new.mode = self.mode
         new.index = self.index
+        new._lazy = self._lazy
+        new._backend = self._backend
+        new._pending = list(self._pending)  # planes are immutable, share them
         return new
 
     def into_state(self) -> SpongeState:
         """Externalize {state, mode, index} as host values (lib.rs:188-195)."""
+        if self._lazy:
+            self._flush(0)
         canonical = mont.from_mont(self.cfg.field, self.plane)[..., : self.batch_size]
         lanes = decode_canonical_plane(self.cfg.field, canonical)
         return SpongeState(

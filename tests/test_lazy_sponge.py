@@ -56,7 +56,7 @@ def test_lazy_vs_interactive_random_transcripts(seed):
     rng = np.random.default_rng(seed)
     B = 2
     lazy = LazyPoseidonSponge(TCFG, batch_size=B)
-    plain = PoseidonSponge(TCFG, batch_size=B)
+    plain = PoseidonSponge(TCFG, batch_size=B, lazy=False)
 
     for _ in range(10):
         kind = rng.choice(["absorb", "squeeze", "bytes"])
@@ -151,7 +151,7 @@ def test_segment_bookkeeping_matches_interactive():
     from sponge_tpu.transcript import Absorb, SqueezeNative, segment_bookkeeping
 
     rng = np.random.default_rng(17)
-    plain = PoseidonSponge(TCFG, batch_size=1)
+    plain = PoseidonSponge(TCFG, batch_size=1, lazy=False)
     mode, index = plain.mode, plain.index
     for _ in range(25):
         n = int(rng.integers(1, 7))

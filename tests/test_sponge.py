@@ -81,7 +81,10 @@ def test_device_vs_oracle_random_transcripts(seed):
             got = dev.squeeze_native_field_elements(n)
             want = [o.squeeze_native_field_elements(n) for o in oracles]
             assert got == want, f"squeeze({n}) diverged"
-    # Modes/indices stay in lockstep with the oracle.
+    # Modes/indices stay in lockstep with the oracle once pending lazy
+    # absorbs are flushed (into_state flushes; bookkeeping is deferred
+    # until dispatch in the lazy default).
+    dev.into_state()
     assert all(dev.mode == o.mode and dev.index == o.index for o in oracles)
 
 
