@@ -510,7 +510,7 @@ def _sparse_apply_multi(
 
 def _permute_kernel_streams(
     ark_ref, popt_ref, state_ref, out_ref, *, cfg, optimized, lane_streams,
-    mds_group=None, relaxed=False,
+    mds_group=None, relaxed=False, wide_interleave=False,
 ):
     """Lane-stream-interleaved kernel: the batch tile is split into
     ``lane_streams`` independent sub-tiles along the sublane axis, advanced in
@@ -528,6 +528,18 @@ def _permute_kernel_streams(
     keeping element limbs quasi-canonical (<= 2^12 + 128) between rounds and
     canonicalizing exactly once at kernel exit — the sequential ``_norm1``
     carry chains disappear from the round schedule entirely.
+
+    ``wide_interleave=True`` widens chain interleaving from ``lane_streams``
+    to every independent chain available at each schedule point: all t*ns
+    full-round S-box chains in one ``_pow_alpha_multi``, all t*ns MDS output
+    rows per accumulation group in one ``_redc_multi``, and all
+    (G + t - 1)*ns sparse-apply column lists of an optimized partial round
+    in one ``_redc_multi`` (arithmetic identical — same columns, same
+    reductions; only emission order changes).  Motivated by the round-3
+    latency accounting (bench/latency_accounting_probe.py, DESIGN.md §21):
+    92% of the 145 ns/perm is REDC chains interleaved only 2-way where 6-8
+    independent chains exist.  The counterweight is register pressure /
+    VMEM spills — measured verdict in DESIGN.md §21.
     """
     fs = cfg.field
     L = fs.nlimbs
@@ -592,8 +604,49 @@ def _permute_kernel_streams(
         for s in range(ns):
             sts[s][e] = outs[s]
 
+    def sbox_streams_all(sts):
+        """All t*ns full-round S-box chains in one interleaved emission."""
+        outs = _pow_alpha_multi(
+            L, [sts[s][e] for s in range(ns) for e in range(t)],
+            cfg.alpha, p_limbs, n0inv, tail_norm_multi,
+        )
+        for s in range(ns):
+            for e in range(t):
+                sts[s][e] = outs[s * t + e]
+
     def mds_streams(sts, row_ints_table):
         news = [[None] * t for _ in range(ns)]
+        if wide_interleave:
+            # All t output rows x ns streams share one interleaved REDC per
+            # accumulation group (rows are mutually independent).
+            parts = [[[] for _ in range(t)] for _ in range(ns)]
+            for js in groups:
+                red = _redc_multi(
+                    L,
+                    [
+                        _mds_row_cols(L, t, sts[s], row_ints_table[i], js)
+                        for s in range(ns)
+                        for i in range(t)
+                    ],
+                    p_limbs,
+                    n0inv,
+                    tail_norm_multi,
+                )
+                for s in range(ns):
+                    for i in range(t):
+                        parts[s][i].append(red[s * t + i])
+            if G == 1:
+                for s in range(ns):
+                    for i in range(t):
+                        news[s][i] = parts[s][i][0]
+            else:
+                normed = small_norm_multi(
+                    [_sum_limbs(parts[s][i]) for s in range(ns) for i in range(t)]
+                )
+                for s in range(ns):
+                    for i in range(t):
+                        news[s][i] = normed[s * t + i]
+            return news
         for i in range(t):
             parts = [[] for _ in range(ns)]
             for js in groups:
@@ -624,8 +677,11 @@ def _permute_kernel_streams(
         sts = unpack_streams(st4)
         ark_norm_streams(sts, r, ark_ref)
         if full:
-            for e in range(t):
-                sbox_streams(sts, e)
+            if wide_interleave:
+                sbox_streams_all(sts)
+            else:
+                for e in range(t):
+                    sbox_streams(sts, e)
         else:
             sbox_streams(sts, 0)
         return pack_streams(mds_streams(sts, mds_ints))
@@ -668,16 +724,31 @@ def _permute_kernel_streams(
                 _sparse_cols_list(L, t, sts[s], row0, col0, groups)
                 for s in range(ns)
             ]
-            # Interleave across streams per sparse column-list index (row0-dot
-            # groups first, then the t-1 column products).
             reduced = [[] for _ in range(ns)]
-            for idx in range(G + t - 1):
+            if wide_interleave:
+                # All (G + t - 1) sparse column lists x ns streams are
+                # mutually independent: one interleaved REDC emission.
                 red = _redc_multi(
-                    L, [per_stream[s][idx] for s in range(ns)], p_limbs, n0inv,
-                    tail_norm_multi,
+                    L,
+                    [
+                        per_stream[s][idx]
+                        for s in range(ns)
+                        for idx in range(G + t - 1)
+                    ],
+                    p_limbs, n0inv, tail_norm_multi,
                 )
                 for s in range(ns):
-                    reduced[s].append(red[s])
+                    reduced[s] = red[s * (G + t - 1):(s + 1) * (G + t - 1)]
+            else:
+                # Interleave across streams per sparse column-list index
+                # (row0-dot groups first, then the t-1 column products).
+                for idx in range(G + t - 1):
+                    red = _redc_multi(
+                        L, [per_stream[s][idx] for s in range(ns)], p_limbs,
+                        n0inv, tail_norm_multi,
+                    )
+                    for s in range(ns):
+                        reduced[s].append(red[s])
             if G == 1:
                 for s in range(ns):
                     sts[s][0] = reduced[s][0]
@@ -722,13 +793,14 @@ def _permute_kernel_streams(
 
 def _permute_kernel(
     ark_ref, popt_ref, state_ref, out_ref, *, cfg, optimized, pipelined=False,
-    lane_streams=1, mds_group=None, relaxed=False,
+    lane_streams=1, mds_group=None, relaxed=False, wide_interleave=False,
 ):
     if lane_streams > 1:
         return _permute_kernel_streams(
             ark_ref, popt_ref, state_ref, out_ref,
             cfg=cfg, optimized=optimized, lane_streams=lane_streams,
             mds_group=mds_group, relaxed=relaxed,
+            wide_interleave=wide_interleave,
         )
     fs = cfg.field
     L = fs.nlimbs
@@ -877,6 +949,7 @@ def cios_permute_fn(
     lane_streams: int | None = None,
     mds_group: int | None = None,
     relaxed: bool = True,
+    wide_interleave: bool = False,
 ):
     """Jitted CIOS permutation: (t, L, B) -> (t, L, B), B % (sublanes*128) == 0.
 
@@ -940,6 +1013,7 @@ def cios_permute_fn(
     kernel = functools.partial(
         _permute_kernel, cfg=cfg, optimized=optimized, pipelined=pipelined,
         lane_streams=lane_streams, mds_group=mds_group, relaxed=relaxed,
+        wide_interleave=wide_interleave,
     )
 
     @jax.jit

@@ -151,7 +151,7 @@ class _FakeRef:
 
 def _run_cios_kernel_body(
     cfg, optimized, B=256, stride=85, pipelined=False, lane_streams=1,
-    mds_group=None, relaxed=False,
+    mds_group=None, relaxed=False, wide_interleave=False,
 ):
     """Run _permute_kernel itself (mock refs, CPU) against the oracle."""
     from sponge_tpu.ops import pallas_cios as pc
@@ -190,6 +190,7 @@ def _run_cios_kernel_body(
             _FakeRef(ark), _FakeRef(popt), _FakeRef(st), out_ref,
             cfg=cfg, optimized=optimized, pipelined=pipelined,
             lane_streams=lane_streams, mds_group=mds_group, relaxed=relaxed,
+            wide_interleave=wide_interleave,
         )
         return out_ref.arr
 
@@ -331,3 +332,19 @@ def test_relaxed_norm_exactness():
 def test_cios_kernel_body_end_to_end(optimized):
     cfg = get_default_poseidon_parameters(BLS12_381_FR, 2, False)
     _run_cios_kernel_body(cfg, optimized)
+
+
+@pytest.mark.parametrize("relaxed", [False, True], ids=["exact", "relaxed"])
+@pytest.mark.parametrize("optimized", [False, True], ids=["dense", "sparse-opt"])
+def test_cios_kernel_body_wide_interleave(optimized, relaxed):
+    """The wide-interleave emission (all independent chains of a schedule
+    point in one _redc_multi/_pow_alpha_multi: full-round S-boxes, MDS rows,
+    sparse column lists) is arithmetic-identical to the 2-way streams kernel
+    — oracle bit-exactness over the tiny field, grouped MDS forced."""
+    from conftest import tiny_poseidon_config
+
+    cfg = tiny_poseidon_config(t=5, full_rounds=4, partial_rounds=5, alpha=5, seed=13)
+    _run_cios_kernel_body(
+        cfg, optimized, stride=37, mds_group=2, relaxed=relaxed,
+        lane_streams=2, wide_interleave=True,
+    )
