@@ -1,12 +1,14 @@
-"""Rescue-Prime on-TPU parity + throughput probe.
+"""Rescue-Prime on-TPU parity + throughput probe: XLA tier vs fused kernel.
 
 Rescue's inverse S-box is a ~log2(p)-bit exponent ladder per element-round,
 so its forward throughput is designed-in orders of magnitude below Poseidon
 (the family trades prover-side work for in-circuit cheapness — see
 rescue/permutation.py).  This probe records the measured cost of that trade
 on TPU for the two ends of the field-size spectrum: BLS12-381 Fr rate-2
-(255-bit ladder) and Mersenne31 rate-8 (31-bit ladder).  Parity-gated
-against the scalar oracle before timing, like bench/goldilocks_probe.py.
+(255-bit ladder) and Mersenne31 rate-8 (31-bit ladder) — for BOTH tiers:
+the portable XLA ladder and the fused VMEM-resident run-length-ladder
+kernel (ops/pallas_rescue.py).  Each row is parity-gated against the
+scalar oracle before timing, like bench/goldilocks_probe.py.
 
 Run: python bench/rescue_probe.py
 """
@@ -36,15 +38,19 @@ def main():
         OracleRescueSponge,
         get_default_rescue_parameters,
     )
+    from sponge_tpu.ops.pallas_rescue import rescue_permute_fn
     from sponge_tpu.rescue.permutation import rescue_permute_jit
 
     rng = np.random.default_rng(20260817)
     lanes = 64
+    only = sys.argv[1] if len(sys.argv) > 1 else None
 
     for label, fs, rate, B in (
         ("bls381_rate2", FR, 2, 1 << 17),
         ("mersenne31_rate8", M31, 8, 1 << 18),
     ):
+        if only and only not in label:
+            continue
         cfg = get_default_rescue_parameters(fs, rate)
         t = cfg.t
         vals = [
@@ -55,35 +61,44 @@ def main():
         state_np[:, :, :lanes] = np.stack(
             [fs.ints_to_mont_plane(row) for row in vals], axis=0
         )
-        fn = rescue_permute_jit(cfg)
-        out = fn(jnp.asarray(state_np))
-        out_np = np.asarray(out[:, :, :lanes])
+        oracle = {}
         for b in range(0, lanes, 13):
             o = OracleRescueSponge(cfg)
             o.state = [vals[i][b] for i in range(t)]
             o.permute()
-            got = [fs.mont_limbs_to_int(out_np[i][:, b]) for i in range(t)]
-            if got != o.state:
-                raise RuntimeError(f"rescue {label} PARITY FAILURE at lane {b}")
-        iters = 5
-        cur = out
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            cur = fn(cur)
-        _ = np.asarray(cur[0, 0, :8])
-        dt = time.perf_counter() - t0
-        pps = iters * B / dt
-        print(
-            json.dumps(
-                {
-                    "metric": f"rescue_{label}_perms_per_sec",
-                    "value": int(pps),
-                    "unit": "perms/s",
-                    "rounds": cfg.rounds,
-                    "parity": "ok",
-                }
+            oracle[b] = o.state
+        for tier, fn in (
+            ("xla", rescue_permute_jit(cfg)),
+            ("kernel", rescue_permute_fn(cfg)),
+        ):
+            out = fn(jnp.asarray(state_np))
+            out_np = np.asarray(out[:, :, :lanes])
+            for b in range(0, lanes, 13):
+                got = [fs.mont_limbs_to_int(out_np[i][:, b]) for i in range(t)]
+                if got != oracle[b]:
+                    raise RuntimeError(
+                        f"rescue {label} {tier} PARITY FAILURE at lane {b}"
+                    )
+            iters = 5
+            cur = out
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                cur = fn(cur)
+            _ = np.asarray(cur[0, 0, :8])
+            dt = time.perf_counter() - t0
+            pps = iters * B / dt
+            print(
+                json.dumps(
+                    {
+                        "metric": f"rescue_{label}_{tier}_perms_per_sec",
+                        "value": int(pps),
+                        "unit": "perms/s",
+                        "rounds": cfg.rounds,
+                        "parity": "ok",
+                    }
+                ),
+                flush=True,
             )
-        )
 
 
 if __name__ == "__main__":

@@ -17,10 +17,13 @@ int32 Montgomery limb planes`` with the Anemoi columns as the two halves
   scheme): exact for values up to R at ANY R/p headroom — no per-config
   value-bound gate.  Per-site deferred-limb bounds are noted inline.
 
-No Pallas tier: like Rescue and Griffin, the per-round wide-exponent
-ladder is a serial chain of REDC-interleaved multiplies — the
-latency-bound regime where the fused CIOS kernel measured no gain over
-XLA (docs/DESIGN.md §8); the XLA tier IS the production tier.
+On TPU the production tier is the fused Pallas kernel
+(``ops.pallas_anemoi``): all rounds VMEM-resident, the per-round ladder
+over all l pairs x lane streams interleaved — see ops/pallas_rescue.py for
+why the earlier "no Pallas tier" analogy was falsified by the GMiMC kernel
+measurement.  This module remains the portable XLA tier (value-safe
+rho-folding, exact up to R at any headroom) and the fallback for
+non-tile-aligned batches or configs failing the kernel's value bound.
 """
 
 from __future__ import annotations
@@ -161,10 +164,29 @@ def anemoi_permute_jit(cfg: AnemoiConfig):
 
 
 def batched_anemoi_permute(cfg: AnemoiConfig, state, backend: str = "auto"):
-    """Backend-dispatched Anemoi permutation (XLA tier on every backend;
-    see the module docstring for why no fused kernel exists)."""
-    if backend not in ("auto", "xla"):
+    """Backend-dispatched Anemoi permutation.
+
+    On TPU with a tile-aligned batch AND a config passing the fused kernel's
+    static value-bound check, the Pallas kernel runs all rounds VMEM-resident
+    (``ops.pallas_anemoi``); otherwise the XLA tier.  ``backend`` may force
+    "anemoi_pallas" / "xla"."""
+    from ..ops.pallas_anemoi import anemoi_permute_fn
+    from ..ops.pallas_cios import TILE_LANES
+
+    if backend not in ("auto", "xla", "anemoi_pallas"):
         raise ValueError(f"unknown backend {backend!r} for Anemoi")
+    B = state.shape[-1]
+    on_tpu = jax.default_backend() == "tpu"
+    if backend == "anemoi_pallas" or (
+        backend == "auto" and on_tpu and B % TILE_LANES == 0
+    ):
+        try:
+            fn = anemoi_permute_fn(cfg)
+        except ValueError:
+            if backend == "anemoi_pallas":
+                raise
+        else:
+            return fn(state)
     return anemoi_permute_jit(cfg)(state)
 
 

@@ -16,10 +16,13 @@ int32 Montgomery limb planes``.  TPU-native structure exploitation:
   R/p headroom, so no per-config value-bound gate is needed — fold counts
   are static, derived from the documented per-site limb bounds below.
 
-No Pallas tier: like Rescue, the per-round wide-exponent ladder is a serial
-chain of REDC-interleaved multiplies — the latency-bound regime where the
-fused CIOS kernel measured no gain over XLA (docs/DESIGN.md §8); the XLA
-tier IS the production tier for this family.
+On TPU the production tier is the fused Pallas kernel
+(``ops.pallas_griffin``): all rounds VMEM-resident, the inverse ladder as a
+run-length square-and-multiply — see ops/pallas_rescue.py for why the
+earlier "no Pallas tier" analogy was falsified by the GMiMC kernel
+measurement.  This module remains the portable XLA tier (value-safe
+rho-folding, exact up to R at any headroom) and the fallback for
+non-tile-aligned batches or configs failing the kernel's value bound.
 """
 
 from __future__ import annotations
@@ -138,10 +141,29 @@ def griffin_permute_jit(cfg: GriffinConfig):
 
 
 def batched_griffin_permute(cfg: GriffinConfig, state, backend: str = "auto"):
-    """Backend-dispatched Griffin permutation (XLA tier on every backend;
-    see the module docstring for why no fused kernel exists)."""
-    if backend not in ("auto", "xla"):
+    """Backend-dispatched Griffin permutation.
+
+    On TPU with a tile-aligned batch AND a config passing the fused kernel's
+    static value-bound check (post-linear reduction auto-selected), the
+    Pallas kernel runs all rounds VMEM-resident (``ops.pallas_griffin``);
+    otherwise the XLA tier.  ``backend`` may force "griffin_pallas" / "xla"."""
+    from ..ops.pallas_cios import TILE_LANES
+    from ..ops.pallas_griffin import griffin_permute_fn
+
+    if backend not in ("auto", "xla", "griffin_pallas"):
         raise ValueError(f"unknown backend {backend!r} for Griffin")
+    B = state.shape[-1]
+    on_tpu = jax.default_backend() == "tpu"
+    if backend == "griffin_pallas" or (
+        backend == "auto" and on_tpu and B % TILE_LANES == 0
+    ):
+        try:
+            fn = griffin_permute_fn(cfg)
+        except ValueError:
+            if backend == "griffin_pallas":
+                raise
+        else:
+            return fn(state)
     return griffin_permute_jit(cfg)(state)
 
 

@@ -1,0 +1,388 @@
+"""Fused Rescue-Prime Pallas kernel: all N rounds VMEM-resident, the inverse
+S-box as a run-length square-and-multiply ladder with every state chain
+interleaved.
+
+Why a kernel exists for this family after DESIGN.md §19 said "no Pallas
+tier": that section's reasoning was an ANALOGY to the Poseidon §8
+measurement, and the fused GMiMC kernel falsified the analogy (35x its XLA
+tier, BENCHMARKS.md).  The XLA ladder tier (rescue/permutation.py
+``pow_ladder``) pays three costs the kernel structurally removes:
+
+* every one of the ~2*log2(p) Montgomery products per round streams the
+  whole ``(t, L, B)`` state through HBM (XLA fuses elementwise chains, but
+  the ``fori_loop``-of-digits boundary plus the 16-entry power table
+  materialize round trips) — the kernel keeps the batch tile in VMEM for
+  the entire permutation;
+* the window ladder's table select is a **dynamic gather** over a
+  ``(16, t, L, B)`` tensor per digit — the kernel's run-length schedule has
+  no table and no select at all: the static exponent is decomposed at build
+  time into squaring-run lengths between 1-bits (SMEM int32 array), so the
+  device executes exactly ``nbits-1`` squarings + ``popcount-1`` multiplies
+  per element, the Hamming-weight optimum for a left-to-right binary ladder
+  (~383 products for a 255-bit inverse exponent vs the XLA tier's ~333 with
+  a 16-entry table — 15% more products, but each is a VMEM-resident
+  interleaved-chain CIOS instead of an HBM round trip);
+* a single ladder chain is REDC-latency-bound; the kernel interleaves all
+  ``t * lane_streams`` element chains per emission (``_redc_multi``), the
+  same trace-level software pipelining the Poseidon CIOS kernel uses.
+
+Round structure (rescue/permutation.py, ePrint 2020/1143):
+
+    state <- MDS . state^alpha      + rc[2r]
+    state <- MDS . state^(1/alpha)  + rc[2r+1]
+
+Value/limb discipline is the CIOS kernel's: Montgomery products are
+self-reducing, MDS rows use lazy grouped column accumulation
+(``_mds_groups``), and ``relaxed=True`` substitutes chain-free
+epsilon-redundant normalization (quasi-canonical limbs <= 2^12 + 128)
+everywhere except the exit.  ``_check_kernel_value_bounds`` statically
+iterates worst-case VALUES through the full round fixpoint and raises when
+any multiplier input or MDS sum could reach the Montgomery radix R —
+every shipped (field, rate) default passes; ``batched_rescue_permute``
+falls back to the XLA tier when it does not.
+
+Exit: one exact interleaved norm plus one Montgomery multiply by 1
+(= REDC by R mod p) restores the framework-wide output contract
+(canonical limbs, values < 2p) — same closing as the GMiMC kernel.
+
+Verified against the scalar oracle in-CI over a tiny field
+(tests/test_rescue.py) and parity-gated on TPU by bench/rescue_probe.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..ops import montgomery as mont
+from ..rescue.config import RescueConfig
+from .pallas_cios import (
+    SUBLANES,
+    _mds_groups,
+    _mds_row_cols,
+    _mul_cols,
+    _norm1_multi,
+    _redc_multi,
+    _pow_alpha_multi,
+    _relaxed_norm_multi,
+    _sqr_cols,
+    _sum_limbs,
+)
+
+
+def _ladder_runs_multi(
+    L, chains, base, runs_ref, n_runs, trailing, p_limbs, n0inv, tail_norm
+):
+    """x^e on several independent limb-list chains via the run-length
+    square-and-multiply ladder, all chains interleaved per emission.
+
+    ``runs_ref``: SMEM int32 array of squaring-run lengths (from
+    ``_exponent_runs``); ``base`` is the multiply operand (normally
+    ``chains`` itself — x^e of each chain's own input).  The run lengths
+    are streamed from SMEM so the device loop body stays one interleaved
+    squaring (plus one multiply per run boundary) instead of an unrolled
+    ~log2(e)-step trace.  Shared by the Rescue, Griffin, and Anemoi fused
+    kernels."""
+    C = len(chains)
+
+    def pack_flat(cs):
+        return jnp.stack([jnp.stack(ch) for ch in cs])
+
+    def unpack_flat(arr):
+        return [[arr[c, l] for l in range(L)] for c in range(C)]
+
+    def sqr_all(cs):
+        return _redc_multi(
+            L, [_sqr_cols(L, ch) for ch in cs], p_limbs, n0inv, tail_norm
+        )
+
+    def sqr_body(_, arr):
+        return pack_flat(sqr_all(unpack_flat(arr)))
+
+    def run_body(i, arr):
+        arr = jax.lax.fori_loop(0, runs_ref[i], sqr_body, arr)
+        cur = unpack_flat(arr)
+        cur = _redc_multi(
+            L,
+            [_mul_cols(L, a, x) for a, x in zip(cur, base)],
+            p_limbs,
+            n0inv,
+            tail_norm,
+        )
+        return pack_flat(cur)
+
+    arr = jax.lax.fori_loop(0, n_runs, run_body, pack_flat(chains))
+    chains = unpack_flat(arr)
+    for _ in range(trailing):  # 0 for every odd exponent (all inv_alphas)
+        chains = sqr_all(chains)
+    return chains
+
+
+def _exponent_runs(exponent: int) -> tuple[list[int], int]:
+    """Run-length schedule of an MSB-first square-and-multiply ladder.
+
+    Returns ``(runs, trailing)``: after seeding ``acc = x`` from the leading
+    1-bit, the ladder performs, for each entry ``g`` in ``runs``, ``g``
+    squarings followed by one multiply-by-x; then ``trailing`` final
+    squarings (0 whenever the exponent is odd — always the case for
+    ``inv_alpha``, since alpha * inv_alpha = 1 mod the even p-1)."""
+    bits = bin(exponent)[2:]
+    runs: list[int] = []
+    gap = 0
+    for b in bits[1:]:
+        gap += 1
+        if b == "1":
+            runs.append(gap)
+            gap = 0
+    return runs, gap
+
+
+@functools.lru_cache(maxsize=None)
+def _check_kernel_value_bounds(cfg: RescueConfig) -> None:
+    """Statically iterate worst-case element VALUES through the kernel's
+    round schedule to a fixpoint; raise if any Montgomery-multiplier input
+    or lazily-grouped MDS sum could reach the radix R.
+
+    Model (conservative): ``mul(a, b) <= a*b/R + p + 1`` (CIOS REDC output
+    bound); a group REDC over ``g`` accumulated products of values <= V
+    against canonical constants <= p is ``g*V*p/R + p + 1``; the per-row MDS
+    output sums ``ceil(t/g)`` reduced groups plus one canonical constant.
+    The ladder bound is the fixpoint of alternating squares and
+    multiplies-by-base (base = the ladder input).
+
+    Note: ``FieldSpec`` pads limb counts so R >= 16p for every constructible
+    field, under which this fixpoint provably converges (mul contracts for
+    values in (1.07p, 14.9p) at R = 16p, and the grouped MDS sums stay
+    inside that window for every g from ``_mds_groups``) — so every shipped
+    config passes.  The check is kept as executable documentation of the
+    discipline and as a guard for hypothetical future limb layouts."""
+    fs = cfg.field
+    p, R = fs.modulus, fs.r
+    t = cfg.t
+    groups = _mds_groups(fs.nlimbs, t)
+    g = max(len(js) for js in groups)
+
+    def mul(a: int, b: int) -> int:
+        if a >= R or b >= R:
+            raise ValueError(
+                f"Rescue fused-kernel value bound reaches R for t={t} over "
+                f"{fs.name}; use the XLA tier (rescue/permutation.py)"
+            )
+        return (a * b) // R + p + 1
+
+    def ladder(v: int) -> int:
+        acc = v
+        for _ in range(8):
+            acc = max(mul(acc, acc), mul(mul(acc, acc), v))
+        return acc
+
+    V = 2 * p  # entry contract
+    for _ in range(cfg.rounds + 2):
+        for _half in range(2):  # forward-alpha half, then inverse half
+            V = ladder(V)
+            V = len(groups) * ((g * V * p) // R + p + 1) + p  # MDS rows + rc
+            if V >= R:
+                mul(R, R)  # raise with the standard message
+    mul(V, p)  # exit multiply by the Montgomery form of 1
+
+
+def _rescue_kernel(
+    rc_ref, runs_ref, state_ref, out_ref, *, cfg, lane_streams, relaxed
+):
+    """Kernel body: (t, L, S, 128) VMEM tile through all 2N half-rounds.
+
+    ``rc_ref``: (2N, t*L) SMEM Montgomery round constants.
+    ``runs_ref``: (n_runs,) SMEM squaring-run lengths of the inverse
+    exponent's ladder (static content; SMEM so the digit loop stays a tiny
+    ``fori_loop`` body instead of an unrolled ~255-step trace).
+    """
+    fs = cfg.field
+    L, t, ns = fs.nlimbs, cfg.t, lane_streams
+    C = t * ns  # interleaved chains per emission
+    fc = mont.field_consts(fs)
+    p_limbs = fc["p_tuple"]
+    n0inv = int(fc["n0inv"])
+    if relaxed:
+        tail_norm = functools.partial(_relaxed_norm_multi, passes=2)
+        small_norm = functools.partial(_relaxed_norm_multi, passes=1)
+    else:
+        tail_norm = None  # helpers default to the exact _norm1_multi
+        small_norm = _norm1_multi
+    groups = _mds_groups(L, t, quasi=relaxed)
+    mds_ints = tuple(
+        tuple(tuple(int(v) for v in fs.int_to_mont_limbs(c)) for c in row)
+        for row in cfg.mds
+    )
+    runs, trailing = _exponent_runs(cfg.inv_alpha)
+    n_runs = len(runs)
+
+    st4 = state_ref[:]
+    S = st4.shape[2]
+    h = S // ns
+
+    def unpack(st4):
+        """(t, L, S, 128) tile -> C chains of L (h, 128) limbs, chain index
+        c = s * t + e."""
+        return [
+            [st4[e, l, s * h : (s + 1) * h] for l in range(L)]
+            for s in range(ns)
+            for e in range(t)
+        ]
+
+    def pack(chains):
+        return jnp.stack(
+            [
+                jnp.stack(
+                    [
+                        jnp.concatenate(
+                            [chains[s * t + e][l] for s in range(ns)], axis=0
+                        )
+                        for l in range(L)
+                    ]
+                )
+                for e in range(t)
+            ]
+        )
+
+    def ladder_all(chains):
+        """x^inv_alpha on all C chains (shared helper, run lengths in SMEM)."""
+        return _ladder_runs_multi(
+            L, chains, chains, runs_ref, n_runs, trailing, p_limbs, n0inv,
+            tail_norm,
+        )
+
+    def mds_rc(chains, rr):
+        """All t rows x ns streams of the dense MDS in one interleaved REDC
+        per lazy-accumulation group, then + rc[rr] and one small norm."""
+        parts = [[] for _ in range(C)]
+        for js in groups:
+            red = _redc_multi(
+                L,
+                [
+                    _mds_row_cols(
+                        L, t, chains[s * t : (s + 1) * t], mds_ints[i], js
+                    )
+                    for s in range(ns)
+                    for i in range(t)
+                ],
+                p_limbs,
+                n0inv,
+                tail_norm,
+            )
+            for c in range(C):
+                parts[c].append(red[c])
+        summed = [
+            [
+                v + rc_ref[rr, (c % t) * L + l]
+                for l, v in enumerate(_sum_limbs(parts[c]))
+            ]
+            for c in range(C)
+        ]
+        return small_norm(summed)
+
+    def round_body(r, st4):
+        chains = unpack(st4)
+        chains = _pow_alpha_multi(
+            L, chains, cfg.alpha, p_limbs, n0inv, tail_norm
+        )
+        chains = mds_rc(chains, 2 * r)
+        chains = ladder_all(chains)
+        chains = mds_rc(chains, 2 * r + 1)
+        return pack(chains)
+
+    st4 = jax.lax.fori_loop(0, cfg.rounds, round_body, st4)
+
+    # Exit: exact interleaved norm (values < R by the build-time bound check,
+    # so the dropped top carry is provably zero), then one Montgomery multiply
+    # by 1 (= REDC by R mod p) restoring canonical limbs and values < 2p.
+    chains = _norm1_multi(unpack(st4))
+    one_ints = tuple(int(v) for v in fs.int_to_limbs(fs.r_mod_p))
+    one_bcast = [jnp.full_like(chains[0][0], one_ints[l]) for l in range(L)]
+    chains = _redc_multi(
+        L, [_mul_cols(L, x, one_bcast) for x in chains], p_limbs, n0inv
+    )
+    out_ref[:] = pack(chains)
+
+
+@functools.lru_cache(maxsize=None)
+def rescue_permute_fn(
+    cfg: RescueConfig,
+    interpret: bool = False,
+    sublanes: int = SUBLANES,
+    lane_streams: int | None = None,
+    relaxed: bool = True,
+):
+    """Jitted fused Rescue-Prime permutation: (t, L, B) -> (t, L, B),
+    B % (sublanes*128) == 0.  Raises when the static value-bound check
+    fails for this config (use the XLA tier then).
+
+    ``relaxed=True`` default: the ladder is a long serial schedule of
+    REDC tails — the same regime where the chain-free norm won on the
+    Poseidon CIOS kernel (DESIGN.md §20)."""
+    _check_kernel_value_bounds(cfg)
+    if lane_streams is None:
+        lane_streams = 2 if sublanes % 16 == 0 else 1
+    if lane_streams > 1 and sublanes % (8 * lane_streams) != 0:
+        raise ValueError(
+            f"lane_streams={lane_streams} needs sublanes divisible by "
+            f"{8 * lane_streams} (got {sublanes})"
+        )
+    fs = cfg.field
+    L, t = fs.nlimbs, cfg.t
+    tile_lanes = sublanes * 128
+    rc_np = np.stack(
+        [
+            np.concatenate([fs.int_to_mont_limbs(c) for c in row])
+            for row in cfg.rc
+        ]
+    ).astype(np.int32)
+    runs, _trailing = _exponent_runs(cfg.inv_alpha)
+    runs_np = np.asarray(runs, dtype=np.int32)
+
+    kernel = functools.partial(
+        _rescue_kernel, cfg=cfg, lane_streams=lane_streams, relaxed=relaxed
+    )
+    # ~2*log2(p) products per element-round, each ~2L^2 int32 mul-adds.
+    nbits = cfg.inv_alpha.bit_length()
+    products_per_round = 2 * (nbits + len(runs)) + 2 * t
+
+    @jax.jit
+    def run(state):
+        B = state.shape[-1]
+        if B % tile_lanes != 0:
+            raise ValueError(f"batch {B} must be a multiple of {tile_lanes}")
+        st4 = state.reshape(t, L, B // 128, 128)
+        grid = (B // tile_lanes,)
+        out = pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct(st4.shape, jnp.int32),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(
+                    (t, L, sublanes, 128),
+                    lambda i: (0, 0, i, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (t, L, sublanes, 128),
+                lambda i: (0, 0, i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            cost_estimate=pl.CostEstimate(
+                flops=cfg.rounds * products_per_round * 2 * L * L * tile_lanes,
+                bytes_accessed=2 * t * L * tile_lanes * 4,
+                transcendentals=0,
+            ),
+            interpret=interpret,
+        )(jnp.asarray(rc_np), jnp.asarray(runs_np), st4)
+        return out.reshape(t, L, B)
+
+    return run

@@ -9,13 +9,15 @@ squarings + ~log2(p)/4 table multiplies, vs 2*log2(p) products for the
 select-every-bit ladder it replaced, while keeping the traced graph to one
 small loop body (see ``_pow_ladder``).
 
-No Pallas tier: the inverse S-box is a serial chain of hundreds of
-REDC-interleaved multiplies per element, which is exactly the latency-bound
-regime where the fused CIOS kernel measured no gain over XLA for Poseidon
-(docs/DESIGN.md §8 REDC-latency probes); the XLA tier IS the production
-tier for this family, and its throughput deficit vs Poseidon (~2 * ceil(
-log2 p) muls per element-round vs ~4) is intrinsic to Rescue's design —
-the family exists to be cheap in-circuit, not forward.
+On TPU the production tier is the fused Pallas kernel
+(``ops.pallas_rescue``): all rounds VMEM-resident, the inverse S-box as a
+run-length square-and-multiply ladder with every state chain interleaved —
+see that module's docstring for why the earlier "no Pallas tier" analogy
+(DESIGN.md §19) was falsified by the GMiMC kernel measurement.  This module
+remains the portable XLA tier and the fallback for non-tile-aligned batches.
+Rescue's throughput deficit vs Poseidon (~2 * ceil(log2 p) muls per
+element-round vs ~4) is intrinsic to the family's design either way — it
+exists to be cheap in-circuit, not forward.
 """
 
 from __future__ import annotations
@@ -189,10 +191,27 @@ def rescue_permute_jit(cfg: RescueConfig):
 
 
 def batched_rescue_permute(cfg: RescueConfig, state, backend: str = "auto"):
-    """Backend-dispatched Rescue permutation (XLA tier on every backend; see
-    the module docstring for why no fused kernel exists for this family)."""
-    if backend not in ("auto", "xla"):
+    """Backend-dispatched Rescue permutation.
+
+    On TPU with a tile-aligned batch AND a config passing the fused kernel's
+    static value-bound check, the Pallas kernel runs all rounds VMEM-resident
+    (``ops.pallas_rescue``); otherwise the XLA tier.  ``backend`` may force
+    "rescue_pallas" / "xla"."""
+    from ..ops.pallas_cios import TILE_LANES
+    from ..ops.pallas_rescue import _check_kernel_value_bounds, rescue_permute_fn
+
+    if backend not in ("auto", "xla", "rescue_pallas"):
         raise ValueError(f"unknown backend {backend!r} for Rescue")
+    B = state.shape[-1]
+    on_tpu = jax.default_backend() == "tpu"
+    if backend == "rescue_pallas" or (backend == "auto" and on_tpu and B % TILE_LANES == 0):
+        try:
+            _check_kernel_value_bounds(cfg)
+        except ValueError:
+            if backend == "rescue_pallas":
+                raise
+        else:
+            return rescue_permute_fn(cfg)(state)
     return rescue_permute_jit(cfg)(state)
 
 

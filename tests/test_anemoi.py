@@ -195,3 +195,145 @@ def test_sharded_permute_matches_local():
     out_sharded = np.asarray(sharded_permute_fn(cfg, mesh)(state))
     out_local = np.asarray(batched_permute(cfg, jnp.asarray(plane)))
     assert np.array_equal(out_sharded, out_local)
+
+
+# ---- fused Pallas kernel body (ops/pallas_anemoi.py) ----
+
+def _tiny_headroom_anemoi_config(rate=3, rounds=4):
+    """Anemoi config over a 25-bit, 3-limb field (R/p headroom 2^11): wide
+    enough for the kernel's value fixpoint (PHT adds + l-term diffusion sums
+    amplify values between the contracting products)."""
+    from sponge_tpu.fields import FieldSpec
+
+    fs = FieldSpec(name="tiny_fr_25", modulus=(1 << 25) - 39, generator=3)
+    return generate_anemoi_parameters(fs, rate, rounds=rounds)
+
+
+@pytest.mark.parametrize("relaxed", [False, True], ids=["exact", "relaxed"])
+@pytest.mark.parametrize("lane_streams", [1, 2], ids=["1stream", "2streams"])
+def test_anemoi_kernel_body_vs_oracle(lane_streams, relaxed):
+    """The fused kernel body (mock refs, CPU) == the scalar oracle: the
+    l*ns-chain run-length ladder, negated-constant subtractions, rotated
+    diffusion + PHT, exit canonicalization.  rate=3 makes l=2 (real rotation
+    and a 2x2 diffusion matrix)."""
+    import jax
+
+    from test_pallas_kernels import _FakeRef
+    from sponge_tpu.ops import pallas_anemoi as pa
+    from sponge_tpu.ops.pallas_rescue import _exponent_runs
+
+    cfg = _tiny_headroom_anemoi_config()
+    pa._check_kernel_value_bounds(cfg)
+    fs = cfg.field
+    t, L, B = cfg.t, fs.nlimbs, 256
+    vals = [rand_fr(fs, B, seed=101 + i) for i in range(t)]
+    st4 = jnp.asarray(
+        np.stack([fs.ints_to_mont_plane(row) for row in vals], axis=0)
+    ).reshape(t, L, B // 128, 128)
+    rc_np = np.stack(
+        [
+            np.concatenate(
+                [fs.int_to_mont_limbs(c) for c in rx]
+                + [fs.int_to_mont_limbs(c) for c in ry]
+            )
+            for rx, ry in zip(cfg.rc_x, cfg.rc_y)
+        ]
+    ).astype(np.int32)
+    runs, _ = _exponent_runs(cfg.inv_alpha)
+    runs_np = np.asarray(runs, dtype=np.int32)
+
+    @jax.jit
+    def run(rc, runs_arr, st):
+        out_ref = _FakeRef(jnp.zeros_like(st))
+        pa._anemoi_kernel(
+            _FakeRef(rc), _FakeRef(runs_arr), _FakeRef(st), out_ref,
+            cfg=cfg, lane_streams=lane_streams, relaxed=relaxed,
+        )
+        return out_ref.arr
+
+    out = np.asarray(run(rc_np, runs_np, st4)).reshape(t, L, B)
+    for b in range(0, B, 61):
+        o = OracleAnemoiSponge(cfg)
+        o.state = [vals[i][b] for i in range(t)]
+        o.permute()
+        got = [fs.mont_limbs_to_int(out[i][:, b]) for i in range(t)]
+        assert got == o.state, b
+        for i in range(t):
+            assert fs.limbs_to_int(out[i][:, b]) < 2 * fs.modulus
+            assert all(int(v) < (1 << 12) for v in out[i][:, b])
+
+
+def test_anemoi_kernel_single_pair():
+    """l=1 (rate 1): identity diffusion matrix path, PHT-only mixing."""
+    import jax
+
+    from test_pallas_kernels import _FakeRef
+    from sponge_tpu.ops import pallas_anemoi as pa
+    from sponge_tpu.ops.pallas_rescue import _exponent_runs
+
+    cfg = _tiny_headroom_anemoi_config(rate=1)
+    fs = cfg.field
+    t, L, B = cfg.t, fs.nlimbs, 256
+    vals = [rand_fr(fs, B, seed=111 + i) for i in range(t)]
+    st4 = jnp.asarray(
+        np.stack([fs.ints_to_mont_plane(row) for row in vals], axis=0)
+    ).reshape(t, L, B // 128, 128)
+    rc_np = np.stack(
+        [
+            np.concatenate(
+                [fs.int_to_mont_limbs(c) for c in rx]
+                + [fs.int_to_mont_limbs(c) for c in ry]
+            )
+            for rx, ry in zip(cfg.rc_x, cfg.rc_y)
+        ]
+    ).astype(np.int32)
+    runs, _ = _exponent_runs(cfg.inv_alpha)
+    runs_np = np.asarray(runs, dtype=np.int32)
+
+    @jax.jit
+    def run(rc, runs_arr, st):
+        out_ref = _FakeRef(jnp.zeros_like(st))
+        pa._anemoi_kernel(
+            _FakeRef(rc), _FakeRef(runs_arr), _FakeRef(st), out_ref,
+            cfg=cfg, lane_streams=2, relaxed=True,
+        )
+        return out_ref.arr
+
+    out = np.asarray(run(rc_np, runs_np, st4)).reshape(t, L, B)
+    for b in range(0, B, 61):
+        o = OracleAnemoiSponge(cfg)
+        o.state = [vals[i][b] for i in range(t)]
+        o.permute()
+        assert [fs.mont_limbs_to_int(out[i][:, b]) for i in range(t)] == o.state
+
+
+def test_anemoi_kernel_pallas_call_interpret():
+    """anemoi_permute_fn through pl.pallas_call in interpret mode."""
+    from sponge_tpu.ops.pallas_anemoi import anemoi_permute_fn
+
+    cfg = _tiny_headroom_anemoi_config(rounds=2)
+    fs = cfg.field
+    t, B = cfg.t, 2048
+    vals = [rand_fr(fs, B, seed=121 + i) for i in range(t)]
+    state = jnp.asarray(
+        np.stack([fs.ints_to_mont_plane(row) for row in vals], axis=0)
+    )
+    out = np.asarray(anemoi_permute_fn(cfg, interpret=True)(state))
+    for b in range(0, B, 511):
+        o = OracleAnemoiSponge(cfg)
+        o.state = [vals[i][b] for i in range(t)]
+        o.permute()
+        assert [fs.mont_limbs_to_int(out[i][:, b]) for i in range(t)] == o.state
+
+
+def test_anemoi_kernel_value_gate():
+    """The static value-bound check admits the shipped 255-bit / Goldilocks
+    defaults and the tiny-headroom CI field."""
+    from sponge_tpu.ops.pallas_anemoi import _check_kernel_value_bounds
+
+    for shipped in (
+        get_default_anemoi_parameters(FR, 3),
+        get_default_anemoi_parameters(GL, 4),
+        _tiny_headroom_anemoi_config(),
+    ):
+        _check_kernel_value_bounds(shipped)

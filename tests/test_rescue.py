@@ -154,3 +154,124 @@ def test_sharded_permute_matches_local():
     out_sharded = np.asarray(sharded_permute_fn(cfg, mesh)(state))
     out_local = np.asarray(batched_permute(cfg, jnp.asarray(plane)))
     assert np.array_equal(out_sharded, out_local)
+
+
+# ---- fused Pallas kernel body (ops/pallas_rescue.py) ----
+
+def _tiny_headroom_rescue_config(rate=2, rounds=4, seed=23):
+    """Rescue config over a 25-bit, 3-limb field whose R/p headroom (2^11)
+    admits the fused kernel's static value bound (the 35-bit conftest tiny
+    field has R/p = 2 — too tight for the kernel's lazy-MDS sums)."""
+    from sponge_tpu.fields import FieldSpec
+    from sponge_tpu.rescue.params import generate_rescue_parameters
+
+    fs = FieldSpec(name="tiny_fr_25", modulus=(1 << 25) - 39, generator=3)
+    return generate_rescue_parameters(fs, rate, rounds=rounds)
+
+
+def test_exponent_runs_schedule():
+    """The run-length decomposition reproduces the exponent exactly, for the
+    production inverse exponent and random odd/even cases."""
+    from sponge_tpu.ops.pallas_rescue import _exponent_runs
+
+    rng = np.random.default_rng(5)
+    exps = [CFG.inv_alpha, _tiny_headroom_rescue_config().inv_alpha] + [
+        int(v) | 1 for v in rng.integers(3, 1 << 60, size=8)
+    ] + [int(v) << 3 for v in rng.integers(3, 1 << 40, size=4)]
+    for e in exps:
+        runs, trailing = _exponent_runs(e)
+        acc = 1
+        for g in runs:
+            acc = (acc << g) | 1
+        acc <<= trailing
+        assert acc == e, e
+        # the ladder performs exactly nbits-1 squarings + popcount-1 muls
+        assert sum(runs) + trailing == e.bit_length() - 1
+        assert len(runs) == bin(e).count("1") - 1
+
+
+import pytest
+
+
+@pytest.mark.parametrize("relaxed", [False, True], ids=["exact", "relaxed"])
+@pytest.mark.parametrize("lane_streams", [1, 2], ids=["1stream", "2streams"])
+def test_rescue_kernel_body_vs_oracle(lane_streams, relaxed):
+    """The fused kernel body (mock refs, CPU) == the scalar oracle: run-length
+    inverse ladder, grouped lazy MDS, rc injection, exit canonicalization."""
+    import jax
+
+    from test_pallas_kernels import _FakeRef
+    from sponge_tpu.ops import pallas_rescue as pr
+
+    cfg = _tiny_headroom_rescue_config()
+    pr._check_kernel_value_bounds(cfg)
+    fs = cfg.field
+    t, L, B = cfg.t, fs.nlimbs, 256
+    vals = [rand_fr(fs, B, seed=51 + i) for i in range(t)]
+    st4 = jnp.asarray(
+        np.stack([fs.ints_to_mont_plane(row) for row in vals], axis=0)
+    ).reshape(t, L, B // 128, 128)
+    rc_np = np.stack(
+        [np.concatenate([fs.int_to_mont_limbs(c) for c in row]) for row in cfg.rc]
+    ).astype(np.int32)
+    runs, _ = pr._exponent_runs(cfg.inv_alpha)
+    runs_np = np.asarray(runs, dtype=np.int32)
+
+    @jax.jit
+    def run(rc, runs_arr, st):
+        out_ref = _FakeRef(jnp.zeros_like(st))
+        pr._rescue_kernel(
+            _FakeRef(rc), _FakeRef(runs_arr), _FakeRef(st), out_ref,
+            cfg=cfg, lane_streams=lane_streams, relaxed=relaxed,
+        )
+        return out_ref.arr
+
+    out = np.asarray(run(rc_np, runs_np, st4)).reshape(t, L, B)
+    for b in range(0, B, 61):
+        o = OracleRescueSponge(cfg)
+        o.state = [vals[i][b] for i in range(t)]
+        o.permute()
+        got = [fs.mont_limbs_to_int(out[i][:, b]) for i in range(t)]
+        assert got == o.state, b
+        # exit contract: canonical limbs, value < 2p
+        for i in range(t):
+            assert fs.limbs_to_int(out[i][:, b]) < 2 * fs.modulus
+            assert all(int(v) < (1 << 12) for v in out[i][:, b])
+
+
+def test_rescue_kernel_value_gate():
+    """The static value-bound check admits every shipped default (FieldSpec's
+    +4-bit limb padding guarantees R >= 16p, under which the kernel's
+    round fixpoint provably converges — the check guards hypothetical future
+    limb layouts, see its docstring), and the mul-bound model itself raises
+    when an input could reach R."""
+    from sponge_tpu.ops.pallas_rescue import _check_kernel_value_bounds
+
+    for shipped in (
+        CFG,
+        get_default_rescue_parameters(M31, 8),
+        get_default_rescue_parameters(GL, 4),
+        _tiny_headroom_rescue_config(),
+    ):
+        _check_kernel_value_bounds(shipped)
+
+
+def test_rescue_kernel_pallas_call_interpret():
+    """rescue_permute_fn through pl.pallas_call in interpret mode: covers the
+    SMEM/VMEM block specs, grid tiling, and run-length SMEM plumbing that the
+    mock-ref body test bypasses."""
+    from sponge_tpu.ops.pallas_rescue import rescue_permute_fn
+
+    cfg = _tiny_headroom_rescue_config(rounds=2)
+    fs = cfg.field
+    t, B = cfg.t, 2048
+    vals = [rand_fr(fs, B, seed=71 + i) for i in range(t)]
+    state = jnp.asarray(
+        np.stack([fs.ints_to_mont_plane(row) for row in vals], axis=0)
+    )
+    out = np.asarray(rescue_permute_fn(cfg, interpret=True)(state))
+    for b in range(0, B, 511):
+        o = OracleRescueSponge(cfg)
+        o.state = [vals[i][b] for i in range(t)]
+        o.permute()
+        assert [fs.mont_limbs_to_int(out[i][:, b]) for i in range(t)] == o.state
