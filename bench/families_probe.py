@@ -75,39 +75,55 @@ def main():
     lanes = 64
     rows = []
 
+    from sponge_tpu.ops.pallas_anemoi import anemoi_permute_fn
+    from sponge_tpu.ops.pallas_griffin import griffin_permute_fn
+
+    only = sys.argv[1] if len(sys.argv) > 1 else None
     cases = (
         ("griffin_bls381_rate2", get_default_griffin_parameters(FR, 2),
-         OracleGriffinSponge, griffin_permute_jit, 1 << 17),
+         OracleGriffinSponge, griffin_permute_jit, griffin_permute_fn, 1 << 17),
         ("griffin_goldilocks_rate4", get_default_griffin_parameters(GL, 4),
-         OracleGriffinSponge, griffin_permute_jit, 1 << 18),
+         OracleGriffinSponge, griffin_permute_jit, griffin_permute_fn, 1 << 18),
         ("anemoi_bls381_rate3", get_default_anemoi_parameters(FR, 3),
-         OracleAnemoiSponge, anemoi_permute_jit, 1 << 17),
+         OracleAnemoiSponge, anemoi_permute_jit, anemoi_permute_fn, 1 << 17),
         ("anemoi_goldilocks_rate4", get_default_anemoi_parameters(GL, 4),
-         OracleAnemoiSponge, anemoi_permute_jit, 1 << 18),
+         OracleAnemoiSponge, anemoi_permute_jit, anemoi_permute_fn, 1 << 18),
         ("gmimc_bls381_rate2", get_default_gmimc_parameters(FR, 2),
-         OracleGmimcSponge, gmimc_permute_jit, 1 << 17),
+         OracleGmimcSponge, gmimc_permute_jit, None, 1 << 17),
         ("gmimc_goldilocks_rate4", get_default_gmimc_parameters(GL, 4),
-         OracleGmimcSponge, gmimc_permute_jit, 1 << 18),
+         OracleGmimcSponge, gmimc_permute_jit, None, 1 << 18),
     )
-    for label, cfg, oracle_cls, jit_fn, B in cases:
+    for label, cfg, oracle_cls, jit_fn, kernel_fn, B in cases:
+        if only and only not in label:
+            continue
         fs = cfg.field
         t = cfg.t
         vals, state_np = _random_plane(fs, t, lanes, B, rng)
-        fn = jit_fn(cfg)
-        out = fn(jnp.asarray(state_np))
-        out_np = np.asarray(out[:, :, :lanes])
+        oracle = {}
         for b in range(0, lanes, 13):
             o = oracle_cls(cfg)
             o.state = [vals[i][b] for i in range(t)]
             o.permute()
-            got = [fs.mont_limbs_to_int(out_np[i][:, b]) % fs.modulus for i in range(t)]
-            want = [v % fs.modulus for v in o.state]
-            if got != want:
-                raise RuntimeError(f"{label} PARITY FAILURE at lane {b}")
-        pps = _time_perms(fn, out, B, iters=5)
-        rows.append({"metric": f"{label}_perms_per_sec", "value": int(pps),
-                     "unit": "perms/s"})
-        print(json.dumps(rows[-1]))
+            oracle[b] = [v % fs.modulus for v in o.state]
+        tiers = [("", jit_fn(cfg))]
+        if kernel_fn is not None:
+            tiers.append(("_kernel", kernel_fn(cfg)))
+        for suffix, fn in tiers:
+            out = fn(jnp.asarray(state_np))
+            out_np = np.asarray(out[:, :, :lanes])
+            for b in range(0, lanes, 13):
+                got = [
+                    fs.mont_limbs_to_int(out_np[i][:, b]) % fs.modulus
+                    for i in range(t)
+                ]
+                if got != oracle[b]:
+                    raise RuntimeError(
+                        f"{label}{suffix} PARITY FAILURE at lane {b}"
+                    )
+            pps = _time_perms(fn, out, B, iters=5)
+            rows.append({"metric": f"{label}{suffix}_perms_per_sec",
+                         "value": int(pps), "unit": "perms/s"})
+            print(json.dumps(rows[-1]), flush=True)
 
     # --- Jive_2 compression at Anemoi's native t=2 width (one perm/node) ---
     cfg_j = get_default_anemoi_parameters(FR, 1)
