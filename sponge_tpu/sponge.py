@@ -91,9 +91,12 @@ class PoseidonSponge:
     pattern through a remote-tunneled TPU; BENCHMARKS.md "transcript
     throughput").  Results are bit-for-bit identical to ``lazy=False`` (the
     step-by-step eager path, kept for differential testing and for callers
-    that need ``.plane`` / ``.mode`` / ``.index`` to reflect every absorb
-    immediately — in lazy mode those attributes update at the next flush;
-    ``into_state()`` flushes).
+    that need ``.plane`` to reflect every absorb immediately — in lazy mode
+    the device plane materializes at the next flush; ``into_state()``
+    flushes).  ``.mode`` / ``.index`` are ALWAYS live: over queued lazy
+    absorbs they replay the host-static duplex bookkeeping
+    (``segment_bookkeeping``), so they match the reference's eager machine
+    at every point.
     """
 
     #: Lazy mode flushes an absorb-only segment once this many element rows
@@ -115,11 +118,45 @@ class PoseidonSponge:
         # permutation; the padding lanes run a valid all-zero sponge.
         self._padded = max(8, 1 << (batch_size - 1).bit_length())
         self.plane = zero_state(cfg, self._padded)  # (t, L, Bp), mod.rs:220
+        self._pending: list = []  # queued (k, L, Bp) element planes (lazy mode)
         self.mode = ABSORBING
         self.index = 0
         self._lazy = lazy
         self._backend = backend
-        self._pending: list = []  # queued (k, L, Bp) element planes (lazy mode)
+
+    # ---- duplex bookkeeping (virtual over queued lazy absorbs) ----
+
+    @property
+    def mode(self) -> str:
+        """Duplex mode, exactly as the reference's eager machine would report
+        it (mod.rs:121-182): queued lazy absorbs are accounted for by
+        replaying the host-static bookkeeping over the pending rows —
+        ``.mode`` / ``.index`` are therefore always live, even though the
+        device ``.plane`` materializes only at the next flush."""
+        if self._pending:
+            return self._virtual_bookkeeping()[0]
+        return self._mode
+
+    @mode.setter
+    def mode(self, value: str):
+        self._mode = value
+
+    @property
+    def index(self) -> int:
+        """Rate index (see ``mode`` — live over queued lazy absorbs)."""
+        if self._pending:
+            return self._virtual_bookkeeping()[1]
+        return self._index
+
+    @index.setter
+    def index(self, value: int):
+        self._index = value
+
+    def _virtual_bookkeeping(self):
+        from .transcript import Absorb, segment_bookkeeping
+
+        steps = tuple(Absorb(p.shape[0]) for p in self._pending)
+        return segment_bookkeeping(self.cfg, steps, self._mode, self._index)
 
     # ---- core duplex machinery over device planes ----
 
@@ -265,7 +302,7 @@ class PoseidonSponge:
         if not steps:
             return None
         fn, end_mode, end_index = _segment_fn(
-            self.cfg, steps, self.mode, self.index, self._backend
+            self.cfg, steps, self._mode, self._index, self._backend
         )
         L = self.cfg.field.nlimbs
         elems = (
@@ -402,8 +439,8 @@ class PoseidonSponge:
         new.batch_size = self.batch_size
         new._padded = self._padded
         new.plane = self.plane
-        new.mode = self.mode
-        new.index = self.index
+        new._mode = self._mode  # raw flushed state; pending is copied below
+        new._index = self._index
         new._lazy = self._lazy
         new._backend = self._backend
         new._pending = list(self._pending)  # planes are immutable, share them

@@ -32,10 +32,32 @@ jax.config.update("jax_platforms", "cpu")
 # cold run costs ~45-60 min either way.  Bench probes keep their cache
 # (TPU-backend serialization has not crashed; utils/jaxcache.py).
 
+import gc as _gc  # noqa: E402
+
 import numpy as _np  # noqa: E402
+import pytest as _pytest  # noqa: E402
 
 from sponge_tpu.fields import FieldSpec  # noqa: E402
 from sponge_tpu.poseidon.config import PoseidonConfig  # noqa: E402
+
+
+@_pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Release compiled-executable state between test modules.
+
+    A full single-process suite run accumulates hundreds of XLA-CPU
+    compilations (some multi-MB unrolled kernel programs); two full-suite
+    runs died to SIGABRT *inside* ``backend_compile_and_load`` deep into the
+    run while the same test passes standalone — cumulative compiler state,
+    not any single program, is the trigger.  Dropping jax's in-process
+    caches at each module boundary keeps the hot intra-module reuse (the
+    expensive tiny-field kernel bodies are compiled and reused within one
+    module) while bounding what a 395-test run accumulates."""
+    yield
+    import jax
+
+    jax.clear_caches()
+    _gc.collect()
 
 # Tiny test field (~35-bit prime, 4 limbs instead of 22).  Exists so the fully
 # unrolled CIOS kernel *body* — whose XLA-CPU compile at L=22 takes hours — can

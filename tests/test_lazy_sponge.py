@@ -165,3 +165,28 @@ def test_segment_bookkeeping_matches_interactive():
             step = SqueezeNative(n)
         mode, index = segment_bookkeeping(TCFG, (step,), mode, index)
         assert (mode, index) == (plain.mode, plain.index)
+
+
+def test_lazy_mode_index_live_over_pending():
+    """.mode/.index on the lazy default reflect QUEUED absorbs (virtual
+    bookkeeping) — they match the eager oracle after every op, including an
+    absorb queued right after a squeeze (the round-3 fuzz regression:
+    the lazy sponge reported 'squeezing' while the oracle had flipped to
+    'absorbing')."""
+    rng = np.random.default_rng(23)
+    dev = PoseidonSponge(TCFG, batch_size=1)  # lazy default
+    o = OraclePoseidonSponge(TCFG)
+    assert dev._lazy
+    for step in range(30):
+        n = int(rng.integers(1, 7))
+        if rng.random() < 0.5:
+            vals = rand_vals(rng, TINY_FR, n)
+            dev.absorb(Batched([[Fp(v, TINY_FR) for v in vals]]))
+            o.absorb_field_elements(list(vals))
+        else:
+            got = dev.squeeze_native_field_elements(n)
+            assert got == [o.squeeze_native_field_elements(n)]
+        assert (dev.mode, dev.index) == (o.mode, o.index), step
+    # into_state flushes and externalizes the SAME bookkeeping
+    st = dev.into_state()
+    assert (st.mode, st.index) == (o.mode, o.index)
