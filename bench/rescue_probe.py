@@ -43,7 +43,8 @@ def main():
 
     rng = np.random.default_rng(20260817)
     lanes = 64
-    only = sys.argv[1] if len(sys.argv) > 1 else None
+    pos = [a for a in sys.argv[1:] if not a.startswith("-")]
+    only = pos[0] if pos else None
 
     for label, fs, rate, B in (
         ("bls381_rate2", FR, 2, 1 << 17),
@@ -67,10 +68,15 @@ def main():
             o.state = [vals[i][b] for i in range(t)]
             o.permute()
             oracle[b] = o.state
-        for tier, fn in (
+        tiers = [
             ("xla", rescue_permute_jit(cfg)),
             ("kernel", rescue_permute_fn(cfg)),
-        ):
+            ("kernel_w3", rescue_permute_fn(cfg, ladder_window=3)),
+            ("kernel_w4", rescue_permute_fn(cfg, ladder_window=4)),
+        ]
+        if "--xla" not in sys.argv:
+            tiers = tiers[1:]
+        for tier, fn in tiers:
             out = fn(jnp.asarray(state_np))
             out_np = np.asarray(out[:, :, :lanes])
             for b in range(0, lanes, 13):

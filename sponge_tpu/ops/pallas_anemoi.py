@@ -54,7 +54,12 @@ from .pallas_cios import (
     _sqr_cols,
     _sum_limbs,
 )
-from .pallas_rescue import _exponent_runs, _ladder_runs_multi
+from .pallas_rescue import (
+    _exponent_runs,
+    _ladder_runs_multi,
+    _ladder_window_multi,
+    _window_schedule,
+)
 
 
 @functools.lru_cache(maxsize=None)
@@ -115,7 +120,8 @@ def _check_kernel_value_bounds(cfg: AnemoiConfig) -> None:
 
 
 def _anemoi_kernel(
-    rc_ref, runs_ref, state_ref, out_ref, *, cfg, lane_streams, relaxed
+    rc_ref, runs_ref, state_ref, out_ref, *, cfg, lane_streams, relaxed,
+    ladder_window=None,
 ):
     """Kernel body: (t, L, S, 128) VMEM tile through all rounds; elements
     0..l-1 are the X column, l..2l-1 the Y column.
@@ -150,8 +156,13 @@ def _anemoi_kernel(
             ("neg_one", -1),
         )
     }
-    runs, trailing = _exponent_runs(cfg.inv_alpha)
-    n_runs = len(runs)
+    if ladder_window is None:
+        runs, trailing = _exponent_runs(cfg.inv_alpha)
+        n_runs = len(runs)
+    else:
+        lead_digit, digits = _window_schedule(cfg.inv_alpha, ladder_window)
+        n_steps = len(digits)
+    one_ints = tuple(int(v) for v in fs.int_to_limbs(fs.r_mod_p))
 
     st4 = state_ref[:]
     S = st4.shape[2]
@@ -272,9 +283,15 @@ def _anemoi_kernel(
             ]
         )
         # v = y - u^(1/alpha), negation via one multiply by Montgomery(-1)
-        lad = _ladder_runs_multi(
-            L, u, u, runs_ref, n_runs, trailing, p_limbs, n0inv, tail_norm
-        )
+        if ladder_window is None:
+            lad = _ladder_runs_multi(
+                L, u, u, runs_ref, n_runs, trailing, p_limbs, n0inv, tail_norm
+            )
+        else:
+            lad = _ladder_window_multi(
+                L, u, u, runs_ref, n_steps, lead_digit, p_limbs, n0inv,
+                tail_norm, ladder_window, one_ints=one_ints,
+            )
         neg_lad = cmul(lad, "neg_one")
         v = small_norm(
             [[a + b for a, b in zip(y, nl)] for y, nl in zip(ys, neg_lad)]
@@ -286,8 +303,11 @@ def _anemoi_kernel(
         )
         return w, v
 
-    def round_body(r, st4):
-        xs, ys = unpack(st4)
+    def round_body(r, carry):
+        # Loop carry is the (xs, ys) chains pytree — packing the t*L
+        # (h, 128) tiles into one tensor per round would copy more than the
+        # cheap schedule points compute (see pallas_rescue).
+        xs, ys = carry
         xs = small_norm(
             [
                 [
@@ -308,16 +328,14 @@ def _anemoi_kernel(
         )
         xs, ys = diffusion(xs, ys)
         xs, ys = flystel(xs, ys)
-        return pack(xs, ys)
+        return xs, ys
 
-    st4 = jax.lax.fori_loop(0, cfg.rounds, round_body, st4)
+    xs, ys = jax.lax.fori_loop(0, cfg.rounds, round_body, unpack(st4))
 
     # Closing diffusion, exact norm (values < R by the build-time check),
     # one Montgomery multiply by 1: canonical limbs, values < 2p.
-    xs, ys = unpack(st4)
     xs, ys = diffusion(xs, ys)
     flat = _norm1_multi(xs + ys)
-    one_ints = tuple(int(v) for v in fs.int_to_limbs(fs.r_mod_p))
     one_b = [jnp.full_like(flat[0][0], one_ints[l]) for l in range(L)]
     flat = _redc_multi(
         L, [_mul_cols(L, x, one_b) for x in flat], p_limbs, n0inv
@@ -332,11 +350,20 @@ def anemoi_permute_fn(
     sublanes: int = SUBLANES,
     lane_streams: int | None = None,
     relaxed: bool = True,
+    ladder_window: int | None | str = "auto",
 ):
     """Jitted fused Anemoi permutation: (t, L, B) -> (t, L, B),
     B % (sublanes*128) == 0.  Raises when the static value-bound check
-    fails for this config (use the XLA tier then)."""
+    fails for this config (use the XLA tier then).  ``ladder_window=w``
+    selects the fixed-window ladder (pallas_rescue)."""
     _check_kernel_value_bounds(cfg)
+    if ladder_window == "auto":
+        # The fixed-window ladder pays its 2^w-entry table build + the
+        # per-step masked selects only over long exponents: +20% on the
+        # 255-bit BLS12-381 inverse exponent (w=4: 195,537 vs 162,959
+        # perms/s, bench/rescue_probe.py), while a ~31-64-bit ladder
+        # amortizes the table over too few steps — run-length there.
+        ladder_window = 4 if cfg.inv_alpha.bit_length() >= 96 else None
     if lane_streams is None:
         lane_streams = 2 if sublanes % 16 == 0 else 1
     if lane_streams > 1 and sublanes % (8 * lane_streams) != 0:
@@ -356,14 +383,20 @@ def anemoi_permute_fn(
             for rx, ry in zip(cfg.rc_x, cfg.rc_y)
         ]
     ).astype(np.int32)
-    runs, _trailing = _exponent_runs(cfg.inv_alpha)
-    runs_np = np.asarray(runs, dtype=np.int32)
+    if ladder_window is None:
+        runs, _trailing = _exponent_runs(cfg.inv_alpha)
+        runs_np = np.asarray(runs, dtype=np.int32)
+    else:
+        _lead, digits = _window_schedule(cfg.inv_alpha, ladder_window)
+        runs_np = np.asarray(digits, dtype=np.int32)
 
     kernel = functools.partial(
-        _anemoi_kernel, cfg=cfg, lane_streams=lane_streams, relaxed=relaxed
+        _anemoi_kernel, cfg=cfg, lane_streams=lane_streams, relaxed=relaxed,
+        ladder_window=ladder_window,
     )
     nbits = cfg.inv_alpha.bit_length()
-    products_per_round = lcol * (nbits + len(runs) + 5) + 2 * lcol * lcol
+    n_muls = len(runs_np) + (0 if ladder_window is None else (1 << ladder_window))
+    products_per_round = lcol * (nbits + n_muls + 5) + 2 * lcol * lcol
 
     @jax.jit
     def run(state):

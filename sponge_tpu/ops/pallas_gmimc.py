@@ -115,27 +115,29 @@ def _gmimc_kernel(rc_ref, state_ref, out_ref, *, cfg, lane_streams, relaxed):
             ]
         )
 
-    def round_body(r, st4):
-        sts = unpack(st4)
-        # x0 = norm(front + c_r): the only normalization in the round.
+    def round_body(r, sts):
+        # Loop carry is the per-stream chains pytree — packing the t*L
+        # (h, 128) tiles into one tensor per round would copy ~20x more
+        # elements than this round's one power map computes (the dominant
+        # cost of the original packed-carry kernel; see pallas_rescue).
         fronts = front_norm(
             [[sts[s][0][l] + rc_ref[r, l] for l in range(L)] for s in range(ns)]
         )
         f = _pow_alpha_multi(L, fronts, cfg.alpha, p_limbs, n0inv, tail_norm)
         # rest += F fully deferred; the ORIGINAL front (no constant, no norm)
         # rotates to the back — bounds in the module docstring.
-        for s in range(ns):
-            sts[s] = [
+        return [
+            [
                 [a + b for a, b in zip(sts[s][i], f[s])] for i in range(1, t)
             ] + [sts[s][0]]
-        return pack(sts)
+            for s in range(ns)
+        ]
 
-    st4 = jax.lax.fori_loop(0, cfg.rounds, round_body, st4)
+    sts = jax.lax.fori_loop(0, cfg.rounds, round_body, unpack(st4))
 
     # Exit: exact norm (values < R by the build-time gate, so the dropped top
     # carry is provably zero), then one Montgomery multiply by 1 (= REDC by
     # R mod p) to restore the < 2p output contract, chains interleaved.
-    sts = unpack(st4)
     flat = _norm1_multi([sts[s][e] for s in range(ns) for e in range(t)])
     one_ints = tuple(int(v) for v in fs.int_to_limbs(fs.r_mod_p))
     one_bcast = [

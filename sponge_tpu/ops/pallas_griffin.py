@@ -60,7 +60,12 @@ from .pallas_cios import (
     _relaxed_norm_multi,
     _sqr_cols,
 )
-from .pallas_rescue import _exponent_runs, _ladder_runs_multi
+from .pallas_rescue import (
+    _exponent_runs,
+    _ladder_runs_multi,
+    _ladder_window_multi,
+    _window_schedule,
+)
 
 
 @functools.lru_cache(maxsize=None)
@@ -116,7 +121,7 @@ def _check_kernel_value_bounds(cfg: GriffinConfig, reduce_linear: bool) -> None:
 
 def _griffin_kernel(
     rc_ref, runs_ref, state_ref, out_ref, *, cfg, lane_streams, relaxed,
-    reduce_linear=False,
+    reduce_linear=False, ladder_window=None,
 ):
     """Kernel body: (t, L, S, 128) VMEM tile through all rounds.
 
@@ -143,8 +148,12 @@ def _griffin_kernel(
         )
         for i in range(2, t)
     )
-    runs, trailing = _exponent_runs(cfg.inv_alpha)
-    n_runs = len(runs)
+    if ladder_window is None:
+        runs, trailing = _exponent_runs(cfg.inv_alpha)
+        n_runs = len(runs)
+    else:
+        lead_digit, digits = _window_schedule(cfg.inv_alpha, ladder_window)
+        n_steps = len(digits)
     one_ints = tuple(int(v) for v in fs.int_to_limbs(fs.r_mod_p))
 
     st4 = state_ref[:]
@@ -217,9 +226,16 @@ def _griffin_kernel(
     def nonlinear(sts):
         # y0 = x0^(1/d): ns interleaved ladder chains (the round's long pole).
         x0s = [sts[s][0] for s in range(ns)]
-        y0s = _ladder_runs_multi(
-            L, x0s, x0s, runs_ref, n_runs, trailing, p_limbs, n0inv, tail_norm
-        )
+        if ladder_window is None:
+            y0s = _ladder_runs_multi(
+                L, x0s, x0s, runs_ref, n_runs, trailing, p_limbs, n0inv,
+                tail_norm,
+            )
+        else:
+            y0s = _ladder_window_multi(
+                L, x0s, x0s, runs_ref, n_steps, lead_digit, p_limbs, n0inv,
+                tail_norm, ladder_window, one_ints=one_ints,
+            )
         # y1 = x1^d: short forward chains, all streams interleaved.
         y1s = _pow_alpha_multi(
             L, [sts[s][1] for s in range(ns)], cfg.alpha, p_limbs, n0inv,
@@ -289,18 +305,19 @@ def _griffin_kernel(
                 sts[s][i] = gated[s * m + (i - 2)]
         return sts
 
-    def round_body(r, st4):
-        sts = unpack(st4)
+    def round_body(r, sts):
+        # Loop carry is the nested per-stream pytree — packing the t*L
+        # (h, 128) tiles into one tensor per round would copy more than
+        # the cheap schedule points compute (see pallas_rescue).
         sts = nonlinear(sts)
         sts = linear(sts, r)
-        return pack(sts)
+        return sts
 
-    st4 = pack(linear(unpack(st4)))  # initial linear layer (no rc)
-    st4 = jax.lax.fori_loop(0, cfg.rounds, round_body, st4)
+    sts = linear(unpack(st4))  # initial linear layer (no rc)
+    sts = jax.lax.fori_loop(0, cfg.rounds, round_body, sts)
 
     # Exit: exact interleaved norm (values < R by the build-time bound check),
     # then one Montgomery multiply by 1 restoring canonical limbs, < 2p.
-    sts = unpack(st4)
     flat = _norm1_multi([sts[s][e] for s in range(ns) for e in range(t)])
     one_bcast = [jnp.full_like(flat[0][0], one_ints[l]) for l in range(L)]
     flat = _redc_multi(
@@ -319,17 +336,26 @@ def griffin_permute_fn(
     sublanes: int = SUBLANES,
     lane_streams: int | None = None,
     relaxed: bool = True,
+    ladder_window: int | None | str = "auto",
 ):
     """Jitted fused Griffin-pi permutation: (t, L, B) -> (t, L, B),
     B % (sublanes*128) == 0.  The post-linear reduction is enabled
     automatically when the unreduced value fixpoint would reach R; raises
-    when even the reduced schedule fails (use the XLA tier then)."""
+    when even the reduced schedule fails (use the XLA tier then).
+    ``ladder_window=w`` selects the fixed-window ladder (pallas_rescue)."""
     try:
         _check_kernel_value_bounds(cfg, False)
         reduce_linear = False
     except ValueError:
         _check_kernel_value_bounds(cfg, True)
         reduce_linear = True
+    if ladder_window == "auto":
+        # The fixed-window ladder pays its 2^w-entry table build + the
+        # per-step masked selects only over long exponents: +20% on the
+        # 255-bit BLS12-381 inverse exponent (w=4: 195,537 vs 162,959
+        # perms/s, bench/rescue_probe.py), while a ~31-64-bit ladder
+        # amortizes the table over too few steps — run-length there.
+        ladder_window = 4 if cfg.inv_alpha.bit_length() >= 96 else None
     if lane_streams is None:
         lane_streams = 2 if sublanes % 16 == 0 else 1
     if lane_streams > 1 and sublanes % (8 * lane_streams) != 0:
@@ -347,15 +373,20 @@ def griffin_permute_fn(
             for row in tuple(cfg.rc) + (zero_row,)
         ]
     ).astype(np.int32)
-    runs, _trailing = _exponent_runs(cfg.inv_alpha)
-    runs_np = np.asarray(runs, dtype=np.int32)
+    if ladder_window is None:
+        runs, _trailing = _exponent_runs(cfg.inv_alpha)
+        runs_np = np.asarray(runs, dtype=np.int32)
+    else:
+        _lead, digits = _window_schedule(cfg.inv_alpha, ladder_window)
+        runs_np = np.asarray(digits, dtype=np.int32)
 
     kernel = functools.partial(
         _griffin_kernel, cfg=cfg, lane_streams=lane_streams, relaxed=relaxed,
-        reduce_linear=reduce_linear,
+        reduce_linear=reduce_linear, ladder_window=ladder_window,
     )
     nbits = cfg.inv_alpha.bit_length()
-    products_per_round = nbits + len(runs) + 3 * (t - 2) + 4
+    n_muls = len(runs_np) + (0 if ladder_window is None else (1 << ladder_window))
+    products_per_round = nbits + n_muls + 3 * (t - 2) + 4
 
     @jax.jit
     def run(state):

@@ -13,15 +13,16 @@ tier, BENCHMARKS.md).  The XLA ladder tier (rescue/permutation.py
   the ``fori_loop``-of-digits boundary plus the 16-entry power table
   materialize round trips) — the kernel keeps the batch tile in VMEM for
   the entire permutation;
-* the window ladder's table select is a **dynamic gather** over a
-  ``(16, t, L, B)`` tensor per digit — the kernel's run-length schedule has
-  no table and no select at all: the static exponent is decomposed at build
-  time into squaring-run lengths between 1-bits (SMEM int32 array), so the
-  device executes exactly ``nbits-1`` squarings + ``popcount-1`` multiplies
-  per element, the Hamming-weight optimum for a left-to-right binary ladder
-  (~383 products for a 255-bit inverse exponent vs the XLA tier's ~333 with
-  a 16-entry table — 15% more products, but each is a VMEM-resident
-  interleaved-chain CIOS instead of an HBM round trip);
+* the XLA window ladder's table select is a **dynamic gather** over a
+  ``(16, t, L, B)`` HBM tensor per digit — the kernel has two gather-free
+  schedules, both decomposed statically at build time into SMEM arrays:
+  the run-length ladder (``_exponent_runs``: exactly nbits-1 squarings +
+  popcount-1 multiplies, zero selects — the Hamming-weight optimum for a
+  left-to-right binary ladder) and the fixed-window ladder
+  (``_window_schedule``: w unrolled squarings + one masked select-sum
+  table multiply per step — fewer loop-carry round trips per product,
+  measured +20% on the 255-bit exponent: 195,537 vs 162,959 perms/s, so
+  ``ladder_window="auto"`` picks it for exponents >= 96 bits);
 * a single ladder chain is REDC-latency-bound; the kernel interleaves all
   ``t * lane_streams`` element chains per emission (``_redc_multi``), the
   same trace-level software pipelining the Poseidon CIOS kernel uses.
@@ -86,41 +87,117 @@ def _ladder_runs_multi(
     ``chains`` itself — x^e of each chain's own input).  The run lengths
     are streamed from SMEM so the device loop body stays one interleaved
     squaring (plus one multiply per run boundary) instead of an unrolled
-    ~log2(e)-step trace.  Shared by the Rescue, Griffin, and Anemoi fused
-    kernels."""
-    C = len(chains)
-
-    def pack_flat(cs):
-        return jnp.stack([jnp.stack(ch) for ch in cs])
-
-    def unpack_flat(arr):
-        return [[arr[c, l] for l in range(L)] for c in range(C)]
+    ~log2(e)-step trace.  The loop carry is the chains PYTREE itself
+    (list-of-limb-lists) — packing the ~C*L small (h, 128) tiles into one
+    stacked tensor per iteration would copy ~20x more elements than the
+    iteration's arithmetic touches.  Shared by the Rescue, Griffin, and
+    Anemoi fused kernels."""
 
     def sqr_all(cs):
         return _redc_multi(
             L, [_sqr_cols(L, ch) for ch in cs], p_limbs, n0inv, tail_norm
         )
 
-    def sqr_body(_, arr):
-        return pack_flat(sqr_all(unpack_flat(arr)))
+    def sqr_body(_, cs):
+        return sqr_all(cs)
 
-    def run_body(i, arr):
-        arr = jax.lax.fori_loop(0, runs_ref[i], sqr_body, arr)
-        cur = unpack_flat(arr)
-        cur = _redc_multi(
+    def run_body(i, cs):
+        cs = jax.lax.fori_loop(0, runs_ref[i], sqr_body, cs)
+        return _redc_multi(
             L,
-            [_mul_cols(L, a, x) for a, x in zip(cur, base)],
+            [_mul_cols(L, a, x) for a, x in zip(cs, base)],
             p_limbs,
             n0inv,
             tail_norm,
         )
-        return pack_flat(cur)
 
-    arr = jax.lax.fori_loop(0, n_runs, run_body, pack_flat(chains))
-    chains = unpack_flat(arr)
+    chains = jax.lax.fori_loop(0, n_runs, run_body, [list(c) for c in chains])
     for _ in range(trailing):  # 0 for every odd exponent (all inv_alphas)
         chains = sqr_all(chains)
     return chains
+
+
+def _window_schedule(exponent: int, w: int = 3) -> tuple[int, list[int]]:
+    """FIXED-window decomposition of an MSB-first ladder.
+
+    Returns ``(lead_digit, digits)``: seed ``acc = x^lead_digit``, then for
+    each digit ``d`` perform exactly ``w`` squarings and one multiply by
+    ``x^d`` (``d`` may be 0 — the table's x^0 entry is the Montgomery form
+    of 1, a value-preserving multiply — so the loop body has NO dynamic
+    trip counts or conditionals at all).  vs the run-length ladder
+    (~2*nbits/1.5 products, one loop-carry round trip per product), the
+    fixed window trades ~6% wasted multiplies and a 2^w-entry power table
+    for a loop body of w+1 products per carry — the loop-carry VMEM
+    traffic, not the arithmetic, is what the body amortizes."""
+    bits = bin(exponent)[2:]
+    rem = len(bits) % w or w
+    lead = int(bits[:rem], 2)
+    digits = [
+        int(bits[i : i + w], 2) for i in range(rem, len(bits), w)
+    ]
+    return lead, digits
+
+
+def _ladder_window_multi(
+    L, chains, base, digits_ref, n_steps, lead_digit,
+    p_limbs, n0inv, tail_norm, w=3, one_ints=None,
+):
+    """x^e on several independent limb-list chains via the fixed-window
+    schedule (``_window_schedule``), all chains interleaved per emission.
+
+    ``digits_ref``: (n_steps,) SMEM int32 digit values.  The 2^w-entry
+    power table of each chain (x^0 = Montgomery 1, x^1 = base, ...) is
+    selected per step with a masked select-sum over the entries (Mosaic has
+    no dynamic_slice of VMEM *values*, and the 2^w where-selects per limb
+    cost ~4% of the step's products); the loop body is ``w`` UNROLLED
+    interleaved squarings plus one table multiply — w+1 products per
+    loop-carry round trip.  Loop carries are the chains pytree (see
+    _ladder_runs_multi)."""
+    C = len(chains)
+    n_entries = 1 << w
+
+    one_b = [jnp.full_like(base[0][0], one_ints[l]) for l in range(L)]
+    entries = [[list(one_b) for _ in range(C)], list(base)]
+    for _ in range(n_entries - 2):
+        entries.append(
+            _redc_multi(
+                L,
+                [_mul_cols(L, e, x) for e, x in zip(entries[-1], base)],
+                p_limbs,
+                n0inv,
+                tail_norm,
+            )
+        )
+
+    def sqr_all(cs):
+        return _redc_multi(
+            L, [_sqr_cols(L, ch) for ch in cs], p_limbs, n0inv, tail_norm
+        )
+
+    def step_body(i, cs):
+        for _ in range(w):  # unrolled: no inner loop carry
+            cs = sqr_all(cs)
+        d = digits_ref[i]
+        ents = [
+            [
+                sum(
+                    jnp.where(d == k, entries[k][c][l], 0)
+                    for k in range(n_entries)
+                )
+                for l in range(L)
+            ]
+            for c in range(C)
+        ]
+        return _redc_multi(
+            L,
+            [_mul_cols(L, a, e) for a, e in zip(cs, ents)],
+            p_limbs,
+            n0inv,
+            tail_norm,
+        )
+
+    acc = [list(ch) for ch in entries[lead_digit]]
+    return jax.lax.fori_loop(0, n_steps, step_body, acc)
 
 
 def _exponent_runs(exponent: int) -> tuple[list[int], int]:
@@ -192,14 +269,17 @@ def _check_kernel_value_bounds(cfg: RescueConfig) -> None:
 
 
 def _rescue_kernel(
-    rc_ref, runs_ref, state_ref, out_ref, *, cfg, lane_streams, relaxed
+    rc_ref, runs_ref, state_ref, out_ref, *, cfg, lane_streams, relaxed,
+    ladder_window=None,
 ):
     """Kernel body: (t, L, S, 128) VMEM tile through all 2N half-rounds.
 
     ``rc_ref``: (2N, t*L) SMEM Montgomery round constants.
-    ``runs_ref``: (n_runs,) SMEM squaring-run lengths of the inverse
-    exponent's ladder (static content; SMEM so the digit loop stays a tiny
-    ``fori_loop`` body instead of an unrolled ~255-step trace).
+    ``runs_ref``: the ladder schedule in SMEM (static content; SMEM so the
+    digit loop stays a tiny ``fori_loop`` body instead of an unrolled
+    ~255-step trace) — (n_runs,) squaring-run lengths for the default
+    run-length ladder, or (n_steps, 2) [squarings, table index] rows when
+    ``ladder_window`` selects the sliding-window ladder.
     """
     fs = cfg.field
     L, t, ns = fs.nlimbs, cfg.t, lane_streams
@@ -218,8 +298,13 @@ def _rescue_kernel(
         tuple(tuple(int(v) for v in fs.int_to_mont_limbs(c)) for c in row)
         for row in cfg.mds
     )
-    runs, trailing = _exponent_runs(cfg.inv_alpha)
-    n_runs = len(runs)
+    if ladder_window is None:
+        runs, trailing = _exponent_runs(cfg.inv_alpha)
+        n_runs = len(runs)
+    else:
+        lead_digit, digits = _window_schedule(cfg.inv_alpha, ladder_window)
+        n_steps = len(digits)
+    one_ints = tuple(int(v) for v in fs.int_to_limbs(fs.r_mod_p))
 
     st4 = state_ref[:]
     S = st4.shape[2]
@@ -250,10 +335,15 @@ def _rescue_kernel(
         )
 
     def ladder_all(chains):
-        """x^inv_alpha on all C chains (shared helper, run lengths in SMEM)."""
-        return _ladder_runs_multi(
-            L, chains, chains, runs_ref, n_runs, trailing, p_limbs, n0inv,
-            tail_norm,
+        """x^inv_alpha on all C chains (shared helpers, schedule in SMEM)."""
+        if ladder_window is None:
+            return _ladder_runs_multi(
+                L, chains, chains, runs_ref, n_runs, trailing, p_limbs,
+                n0inv, tail_norm,
+            )
+        return _ladder_window_multi(
+            L, chains, chains, runs_ref, n_steps, lead_digit,
+            p_limbs, n0inv, tail_norm, ladder_window, one_ints=one_ints,
         )
 
     def mds_rc(chains, rr):
@@ -285,23 +375,24 @@ def _rescue_kernel(
         ]
         return small_norm(summed)
 
-    def round_body(r, st4):
-        chains = unpack(st4)
+    def round_body(r, chains):
+        # Loop carry is the chains pytree — packing the C*L (h, 128) tiles
+        # into one tensor per round would copy more than the round computes
+        # for nothing (same reasoning as _ladder_runs_multi).
         chains = _pow_alpha_multi(
             L, chains, cfg.alpha, p_limbs, n0inv, tail_norm
         )
         chains = mds_rc(chains, 2 * r)
         chains = ladder_all(chains)
         chains = mds_rc(chains, 2 * r + 1)
-        return pack(chains)
+        return chains
 
-    st4 = jax.lax.fori_loop(0, cfg.rounds, round_body, st4)
+    chains = jax.lax.fori_loop(0, cfg.rounds, round_body, unpack(st4))
 
     # Exit: exact interleaved norm (values < R by the build-time bound check,
     # so the dropped top carry is provably zero), then one Montgomery multiply
     # by 1 (= REDC by R mod p) restoring canonical limbs and values < 2p.
-    chains = _norm1_multi(unpack(st4))
-    one_ints = tuple(int(v) for v in fs.int_to_limbs(fs.r_mod_p))
+    chains = _norm1_multi(chains)
     one_bcast = [jnp.full_like(chains[0][0], one_ints[l]) for l in range(L)]
     chains = _redc_multi(
         L, [_mul_cols(L, x, one_bcast) for x in chains], p_limbs, n0inv
@@ -316,6 +407,7 @@ def rescue_permute_fn(
     sublanes: int = SUBLANES,
     lane_streams: int | None = None,
     relaxed: bool = True,
+    ladder_window: int | None | str = "auto",
 ):
     """Jitted fused Rescue-Prime permutation: (t, L, B) -> (t, L, B),
     B % (sublanes*128) == 0.  Raises when the static value-bound check
@@ -323,8 +415,20 @@ def rescue_permute_fn(
 
     ``relaxed=True`` default: the ladder is a long serial schedule of
     REDC tails — the same regime where the chain-free norm won on the
-    Poseidon CIOS kernel (DESIGN.md §20)."""
+    Poseidon CIOS kernel (DESIGN.md §20).
+
+    ``ladder_window=w`` switches the inverse ladder from the run-length
+    schedule to the sliding-window schedule (odd-power table + dynamic
+    VMEM index per step; ~20% fewer products at w=4 for 255-bit
+    exponents) — measured verdict in DESIGN.md §22."""
     _check_kernel_value_bounds(cfg)
+    if ladder_window == "auto":
+        # The fixed-window ladder pays its 2^w-entry table build + the
+        # per-step masked selects only over long exponents: +20% on the
+        # 255-bit BLS12-381 inverse exponent (w=4: 195,537 vs 162,959
+        # perms/s, bench/rescue_probe.py), while a ~31-64-bit ladder
+        # amortizes the table over too few steps — run-length there.
+        ladder_window = 4 if cfg.inv_alpha.bit_length() >= 96 else None
     if lane_streams is None:
         lane_streams = 2 if sublanes % 16 == 0 else 1
     if lane_streams > 1 and sublanes % (8 * lane_streams) != 0:
@@ -341,15 +445,21 @@ def rescue_permute_fn(
             for row in cfg.rc
         ]
     ).astype(np.int32)
-    runs, _trailing = _exponent_runs(cfg.inv_alpha)
-    runs_np = np.asarray(runs, dtype=np.int32)
+    if ladder_window is None:
+        runs, _trailing = _exponent_runs(cfg.inv_alpha)
+        runs_np = np.asarray(runs, dtype=np.int32)
+    else:
+        _lead, digits = _window_schedule(cfg.inv_alpha, ladder_window)
+        runs_np = np.asarray(digits, dtype=np.int32)
 
     kernel = functools.partial(
-        _rescue_kernel, cfg=cfg, lane_streams=lane_streams, relaxed=relaxed
+        _rescue_kernel, cfg=cfg, lane_streams=lane_streams, relaxed=relaxed,
+        ladder_window=ladder_window,
     )
     # ~2*log2(p) products per element-round, each ~2L^2 int32 mul-adds.
     nbits = cfg.inv_alpha.bit_length()
-    products_per_round = 2 * (nbits + len(runs)) + 2 * t
+    n_muls = len(runs_np) + (0 if ladder_window is None else (1 << ladder_window))
+    products_per_round = 2 * (nbits + n_muls) + 2 * t
 
     @jax.jit
     def run(state):

@@ -275,3 +275,63 @@ def test_rescue_kernel_pallas_call_interpret():
         o.state = [vals[i][b] for i in range(t)]
         o.permute()
         assert [fs.mont_limbs_to_int(out[i][:, b]) for i in range(t)] == o.state
+
+
+def test_window_schedule():
+    """The fixed-window decomposition reproduces the exponent exactly: every
+    step is exactly w squarings + one digit multiply (digit 0 = the table's
+    Montgomery-one entry, a value-preserving multiply)."""
+    from sponge_tpu.ops.pallas_rescue import _window_schedule
+
+    rng = np.random.default_rng(17)
+    exps = [CFG.inv_alpha, _tiny_headroom_rescue_config().inv_alpha] + [
+        int(v) | 1 for v in rng.integers(3, 1 << 60, size=8)
+    ] + [int(v) << 2 for v in rng.integers(17, 1 << 40, size=4)]
+    for w in (2, 3, 4, 5):
+        for e in exps:
+            lead, digits = _window_schedule(e, w)
+            assert 1 <= lead < (1 << w)  # leading window starts with the MSB
+            acc = lead
+            for d in digits:
+                assert 0 <= d < (1 << w), (e, w)
+                acc = (acc << w) + d
+            assert acc == e, (e, w)
+
+
+@pytest.mark.parametrize("window", [2, 4])
+def test_rescue_kernel_body_window_ladder(window):
+    """The sliding-window ladder (odd-power table, dynamic VMEM index) is
+    oracle bit-exact — same harness as the run-length cells."""
+    import jax
+
+    from test_pallas_kernels import _FakeRef
+    from sponge_tpu.ops import pallas_rescue as pr
+
+    cfg = _tiny_headroom_rescue_config()
+    fs = cfg.field
+    t, L, B = cfg.t, fs.nlimbs, 256
+    vals = [rand_fr(fs, B, seed=131 + i) for i in range(t)]
+    st4 = jnp.asarray(
+        np.stack([fs.ints_to_mont_plane(row) for row in vals], axis=0)
+    ).reshape(t, L, B // 128, 128)
+    rc_np = np.stack(
+        [np.concatenate([fs.int_to_mont_limbs(c) for c in row]) for row in cfg.rc]
+    ).astype(np.int32)
+    _lead, digits = pr._window_schedule(cfg.inv_alpha, window)
+    sched_np = np.asarray(digits, dtype=np.int32)
+
+    @jax.jit
+    def run(rc, sched, st):
+        out_ref = _FakeRef(jnp.zeros_like(st))
+        pr._rescue_kernel(
+            _FakeRef(rc), _FakeRef(sched), _FakeRef(st), out_ref,
+            cfg=cfg, lane_streams=2, relaxed=True, ladder_window=window,
+        )
+        return out_ref.arr
+
+    out = np.asarray(run(rc_np, sched_np, st4)).reshape(t, L, B)
+    for b in range(0, B, 61):
+        o = OracleRescueSponge(cfg)
+        o.state = [vals[i][b] for i in range(t)]
+        o.permute()
+        assert [fs.mont_limbs_to_int(out[i][:, b]) for i in range(t)] == o.state
