@@ -383,7 +383,16 @@ def main():
     # --quick numbers are smoke-test scale; don't clobber the real table.
     name = "BENCHMARKS_quick.md" if args.quick else "BENCHMARKS.md"
     out = pathlib.Path(__file__).resolve().parent.parent / name
-    out.write_text("\n".join(lines) + "\n")
+    # Everything from the marker down is probe-measured content maintained
+    # by the family/kernel probes (bench/*_probe.py) — full_bench owns only
+    # the main table above it and must preserve the rest across rewrites.
+    marker = "<!-- probe-measured sections below: full_bench preserves from here -->"
+    tail = ""
+    if out.exists():
+        old = out.read_text()
+        if marker in old:
+            tail = old[old.index(marker):]
+    out.write_text("\n".join(lines) + "\n\n" + (tail or marker + "\n"))
     print("wrote", out)
 
 

@@ -87,7 +87,7 @@ class PoseidonSponge:
     host-side and each squeeze flushes the pending ``[Absorb..., Squeeze]``
     segment as ONE jitted program, cached by segment shape — a Fiat–Shamir
     loop with stable per-iteration structure compiles once and then costs a
-    single device dispatch per iteration (~36x the step-by-step dispatch
+    single device dispatch per iteration (~26x the step-by-step dispatch
     pattern through a remote-tunneled TPU; BENCHMARKS.md "transcript
     throughput").  Results are bit-for-bit identical to ``lazy=False`` (the
     step-by-step eager path, kept for differential testing and for callers
