@@ -6,7 +6,7 @@ and is the DEFAULT (``sponge.py``): absorbs queue host-side and each squeeze
 flushes the pending ``[Absorb..., Squeeze]`` segment as one fused jitted
 program (``transcript._replay`` from a live state), cached here by
 (config, start mode/index, step shapes, backend).  The step-by-step eager
-dispatch pattern — several small device dispatches per duplex step, ~36x
+dispatch pattern — several small device dispatches per duplex step, ~26x
 slower through a remote-tunneled TPU — is the ``lazy=False`` escape hatch.
 
 Bit-exactness: segments replay the exact reference duplex machine

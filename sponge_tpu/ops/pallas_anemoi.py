@@ -55,9 +55,12 @@ from .pallas_cios import (
     _sum_limbs,
 )
 from .pallas_rescue import (
+    _exit_canonicalize,
     _exponent_runs,
     _ladder_runs_multi,
     _ladder_window_multi,
+    _resolve_ladder_window,
+    _resolve_streams,
     _window_schedule,
 )
 
@@ -77,7 +80,9 @@ def _check_kernel_value_bounds(cfg: AnemoiConfig) -> None:
     fs = cfg.field
     p, R = fs.modulus, fs.r
     lcol = cfg.l
-    groups = _mds_groups(fs.nlimbs, lcol)
+    # quasi=True: the relaxed kernel's grouping (more groups at tight limb
+    # budgets) is the worst case for the modeled per-row sum.
+    groups = _mds_groups(fs.nlimbs, lcol, quasi=True)
     g = max(len(js) for js in groups)
 
     def mul(a: int, b: int) -> int:
@@ -95,6 +100,8 @@ def _check_kernel_value_bounds(cfg: AnemoiConfig) -> None:
         return acc
 
     def mat_row(v: int) -> int:
+        if v >= R:
+            mul(R, R)  # the diffusion products multiply v: raise like mul
         if lcol == 1:
             return v
         return len(groups) * ((g * v * p) // R + p + 1)
@@ -335,11 +342,7 @@ def _anemoi_kernel(
     # Closing diffusion, exact norm (values < R by the build-time check),
     # one Montgomery multiply by 1: canonical limbs, values < 2p.
     xs, ys = diffusion(xs, ys)
-    flat = _norm1_multi(xs + ys)
-    one_b = [jnp.full_like(flat[0][0], one_ints[l]) for l in range(L)]
-    flat = _redc_multi(
-        L, [_mul_cols(L, x, one_b) for x in flat], p_limbs, n0inv
-    )
+    flat = _exit_canonicalize(L, xs + ys, fs, p_limbs, n0inv)
     out_ref[:] = pack(flat[:C], flat[C:])
 
 
@@ -347,30 +350,23 @@ def _anemoi_kernel(
 def anemoi_permute_fn(
     cfg: AnemoiConfig,
     interpret: bool = False,
-    sublanes: int = SUBLANES,
+    sublanes: int = 8,
     lane_streams: int | None = None,
     relaxed: bool = True,
     ladder_window: int | None | str = "auto",
 ):
     """Jitted fused Anemoi permutation: (t, L, B) -> (t, L, B),
     B % (sublanes*128) == 0.  Raises when the static value-bound check
-    fails for this config (use the XLA tier then).  ``ladder_window=w``
-    selects the fixed-window ladder (pallas_rescue)."""
+    fails for this config (use the XLA tier then).  ``ladder_window`` /
+    ``lane_streams`` resolve through the shared family policies
+    (pallas_rescue).  Default tile: 8 sublanes, 1 stream — measured +7%
+    over 16:2 (286,113 vs 267,317/267,434 perms/s BLS rate-3,
+    order-controlled; the l-pair chains already interleave without the
+    stream split, and the smaller VMEM live set wins — Griffin, whose
+    ladder has ONLY the stream chains, keeps 16:2)."""
     _check_kernel_value_bounds(cfg)
-    if ladder_window == "auto":
-        # The fixed-window ladder pays its 2^w-entry table build + the
-        # per-step masked selects only over long exponents: +20% on the
-        # 255-bit BLS12-381 inverse exponent (w=4: 195,537 vs 162,959
-        # perms/s, bench/rescue_probe.py), while a ~31-64-bit ladder
-        # amortizes the table over too few steps — run-length there.
-        ladder_window = 4 if cfg.inv_alpha.bit_length() >= 96 else None
-    if lane_streams is None:
-        lane_streams = 2 if sublanes % 16 == 0 else 1
-    if lane_streams > 1 and sublanes % (8 * lane_streams) != 0:
-        raise ValueError(
-            f"lane_streams={lane_streams} needs sublanes divisible by "
-            f"{8 * lane_streams} (got {sublanes})"
-        )
+    ladder_window = _resolve_ladder_window(cfg, ladder_window)
+    lane_streams = _resolve_streams(sublanes, lane_streams)
     fs = cfg.field
     L, t, lcol = fs.nlimbs, cfg.t, cfg.l
     tile_lanes = sublanes * 128

@@ -1010,6 +1010,12 @@ def cios_permute_fn(
     else:
         popt_np = np.zeros((1, 1), dtype=np.int32)
 
+    if wide_interleave and lane_streams < 2:
+        # Only the streams kernel implements the wide emission; silently
+        # running the plain kernel would mislabel any A/B sweep.
+        raise ValueError(
+            "wide_interleave requires lane_streams >= 2 (the streams kernel)"
+        )
     kernel = functools.partial(
         _permute_kernel, cfg=cfg, optimized=optimized, pipelined=pipelined,
         lane_streams=lane_streams, mds_group=mds_group, relaxed=relaxed,

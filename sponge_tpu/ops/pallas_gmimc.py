@@ -57,12 +57,11 @@ from ..gmimc.config import GmimcConfig
 from ..ops import montgomery as mont
 from .pallas_cios import (
     SUBLANES,
-    _mul_cols,
     _norm1_multi,
     _pow_alpha_multi,
-    _redc_multi,
     _relaxed_norm_multi,
 )
+from .pallas_rescue import _exit_canonicalize, _resolve_streams
 
 
 def _value_gate(cfg: GmimcConfig) -> bool:
@@ -135,20 +134,15 @@ def _gmimc_kernel(rc_ref, state_ref, out_ref, *, cfg, lane_streams, relaxed):
 
     sts = jax.lax.fori_loop(0, cfg.rounds, round_body, unpack(st4))
 
-    # Exit: exact norm (values < R by the build-time gate, so the dropped top
-    # carry is provably zero), then one Montgomery multiply by 1 (= REDC by
-    # R mod p) to restore the < 2p output contract, chains interleaved.
-    flat = _norm1_multi([sts[s][e] for s in range(ns) for e in range(t)])
-    one_ints = tuple(int(v) for v in fs.int_to_limbs(fs.r_mod_p))
-    one_bcast = [
-        jnp.full_like(flat[0][0], one_ints[l]) for l in range(L)
-    ]
-    reduced = _redc_multi(
-        L, [_mul_cols(L, x, one_bcast) for x in flat], p_limbs, n0inv
+    # Shared exit (values < R by the build-time gate): exact norm +
+    # Montgomery-by-1, restoring the < 2p output contract, chains interleaved.
+    flat = _exit_canonicalize(
+        L, [sts[s][e] for s in range(ns) for e in range(t)], fs, p_limbs,
+        n0inv,
     )
     for s in range(ns):
         for e in range(t):
-            sts[s][e] = reduced[s * t + e]
+            sts[s][e] = flat[s * t + e]
     out_ref[:] = pack(sts)
 
 
@@ -175,13 +169,7 @@ def gmimc_permute_fn(
             f"GMiMC fused kernel needs (2*rounds+6)*p < R; "
             f"{cfg.field.name} with {cfg.rounds} rounds fails the bound"
         )
-    if lane_streams is None:
-        lane_streams = 2 if sublanes % 16 == 0 else 1
-    if lane_streams > 1 and sublanes % (8 * lane_streams) != 0:
-        raise ValueError(
-            f"lane_streams={lane_streams} needs sublanes divisible by "
-            f"{8 * lane_streams} (got {sublanes})"
-        )
+    lane_streams = _resolve_streams(sublanes, lane_streams)
     fs = cfg.field
     L, t = fs.nlimbs, cfg.t
     tile_lanes = sublanes * 128

@@ -61,9 +61,12 @@ from .pallas_cios import (
     _sqr_cols,
 )
 from .pallas_rescue import (
+    _exit_canonicalize,
     _exponent_runs,
     _ladder_runs_multi,
     _ladder_window_multi,
+    _resolve_ladder_window,
+    _resolve_streams,
     _window_schedule,
 )
 
@@ -316,12 +319,10 @@ def _griffin_kernel(
     sts = linear(unpack(st4))  # initial linear layer (no rc)
     sts = jax.lax.fori_loop(0, cfg.rounds, round_body, sts)
 
-    # Exit: exact interleaved norm (values < R by the build-time bound check),
-    # then one Montgomery multiply by 1 restoring canonical limbs, < 2p.
-    flat = _norm1_multi([sts[s][e] for s in range(ns) for e in range(t)])
-    one_bcast = [jnp.full_like(flat[0][0], one_ints[l]) for l in range(L)]
-    flat = _redc_multi(
-        L, [_mul_cols(L, x, one_bcast) for x in flat], p_limbs, n0inv
+    # Shared exit: exact norm + Montgomery-by-1 (values < R by the gate).
+    flat = _exit_canonicalize(
+        L, [sts[s][e] for s in range(ns) for e in range(t)], fs, p_limbs,
+        n0inv,
     )
     for s in range(ns):
         for e in range(t):
@@ -342,27 +343,19 @@ def griffin_permute_fn(
     B % (sublanes*128) == 0.  The post-linear reduction is enabled
     automatically when the unreduced value fixpoint would reach R; raises
     when even the reduced schedule fails (use the XLA tier then).
-    ``ladder_window=w`` selects the fixed-window ladder (pallas_rescue)."""
+    ``ladder_window`` / ``lane_streams`` resolve through the shared family
+    policies (pallas_rescue).  Default tile stays 16 sublanes / 2 streams:
+    unlike Rescue/Anemoi (whose 8:1 tiles won), Griffin's ladder chains
+    come ONLY from the stream split, and 8:1 measured a loss (642,545 vs
+    652,698/687,201 perms/s BLS rate-2, order-controlled)."""
     try:
         _check_kernel_value_bounds(cfg, False)
         reduce_linear = False
     except ValueError:
         _check_kernel_value_bounds(cfg, True)
         reduce_linear = True
-    if ladder_window == "auto":
-        # The fixed-window ladder pays its 2^w-entry table build + the
-        # per-step masked selects only over long exponents: +20% on the
-        # 255-bit BLS12-381 inverse exponent (w=4: 195,537 vs 162,959
-        # perms/s, bench/rescue_probe.py), while a ~31-64-bit ladder
-        # amortizes the table over too few steps — run-length there.
-        ladder_window = 4 if cfg.inv_alpha.bit_length() >= 96 else None
-    if lane_streams is None:
-        lane_streams = 2 if sublanes % 16 == 0 else 1
-    if lane_streams > 1 and sublanes % (8 * lane_streams) != 0:
-        raise ValueError(
-            f"lane_streams={lane_streams} needs sublanes divisible by "
-            f"{8 * lane_streams} (got {sublanes})"
-        )
+    ladder_window = _resolve_ladder_window(cfg, ladder_window)
+    lane_streams = _resolve_streams(sublanes, lane_streams)
     fs = cfg.field
     L, t = fs.nlimbs, cfg.t
     tile_lanes = sublanes * 128

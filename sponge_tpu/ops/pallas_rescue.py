@@ -76,6 +76,43 @@ from .pallas_cios import (
 )
 
 
+def _resolve_ladder_window(cfg, ladder_window):
+    """Resolve the shared ``ladder_window="auto"`` policy for the ladder
+    families: the fixed-window ladder pays its 2^w-entry table build + the
+    per-step masked selects only over long exponents — +20% on the 255-bit
+    BLS12-381 inverse exponent (w=4: 195,537 vs 162,959 perms/s,
+    bench/rescue_probe.py), neutral at 64 bits (DESIGN.md §22) — so "auto"
+    is w=4 for exponents >= 96 bits and the run-length schedule otherwise."""
+    if ladder_window == "auto":
+        return 4 if cfg.inv_alpha.bit_length() >= 96 else None
+    return ladder_window
+
+
+def _resolve_streams(sublanes, lane_streams):
+    """Shared lane-stream defaulting/validation for the fused kernels."""
+    if lane_streams is None:
+        lane_streams = 2 if sublanes % 16 == 0 else 1
+    if lane_streams > 1 and sublanes % (8 * lane_streams) != 0:
+        raise ValueError(
+            f"lane_streams={lane_streams} needs sublanes divisible by "
+            f"{8 * lane_streams} (got {sublanes})"
+        )
+    return lane_streams
+
+
+def _exit_canonicalize(L, chains, fs, p_limbs, n0inv):
+    """Shared kernel exit: one exact interleaved norm (caller guarantees
+    values < R, so the dropped top carry is provably zero) plus one
+    Montgomery multiply by 1 (= REDC by R mod p), restoring the
+    framework-wide output contract — canonical limbs, values < 2p."""
+    chains = _norm1_multi(chains)
+    one_ints = tuple(int(v) for v in fs.int_to_limbs(fs.r_mod_p))
+    one_b = [jnp.full_like(chains[0][0], one_ints[l]) for l in range(L)]
+    return _redc_multi(
+        L, [_mul_cols(L, x, one_b) for x in chains], p_limbs, n0inv
+    )
+
+
 def _ladder_runs_multi(
     L, chains, base, runs_ref, n_runs, trailing, p_limbs, n0inv, tail_norm
 ):
@@ -241,7 +278,9 @@ def _check_kernel_value_bounds(cfg: RescueConfig) -> None:
     fs = cfg.field
     p, R = fs.modulus, fs.r
     t = cfg.t
-    groups = _mds_groups(fs.nlimbs, t)
+    # quasi=True: the relaxed kernel's grouping (more groups at tight limb
+    # budgets) is the worst case for the modeled per-row sum.
+    groups = _mds_groups(fs.nlimbs, t, quasi=True)
     g = max(len(js) for js in groups)
 
     def mul(a: int, b: int) -> int:
@@ -392,19 +431,14 @@ def _rescue_kernel(
     # Exit: exact interleaved norm (values < R by the build-time bound check,
     # so the dropped top carry is provably zero), then one Montgomery multiply
     # by 1 (= REDC by R mod p) restoring canonical limbs and values < 2p.
-    chains = _norm1_multi(chains)
-    one_bcast = [jnp.full_like(chains[0][0], one_ints[l]) for l in range(L)]
-    chains = _redc_multi(
-        L, [_mul_cols(L, x, one_bcast) for x in chains], p_limbs, n0inv
-    )
-    out_ref[:] = pack(chains)
+    out_ref[:] = pack(_exit_canonicalize(L, chains, fs, p_limbs, n0inv))
 
 
 @functools.lru_cache(maxsize=None)
 def rescue_permute_fn(
     cfg: RescueConfig,
     interpret: bool = False,
-    sublanes: int = SUBLANES,
+    sublanes: int = 8,
     lane_streams: int | None = None,
     relaxed: bool = True,
     ladder_window: int | None | str = "auto",
@@ -417,25 +451,16 @@ def rescue_permute_fn(
     REDC tails — the same regime where the chain-free norm won on the
     Poseidon CIOS kernel (DESIGN.md §20).
 
-    ``ladder_window=w`` switches the inverse ladder from the run-length
-    schedule to the sliding-window schedule (odd-power table + dynamic
-    VMEM index per step; ~20% fewer products at w=4 for 255-bit
-    exponents) — measured verdict in DESIGN.md §22."""
+    ``ladder_window`` / ``lane_streams`` resolve through the shared family
+    policies (``_resolve_ladder_window`` / ``_resolve_streams``).  Default
+    tile: 8 sublanes, 1 stream — measured +14% over 16:2 for this kernel
+    (223,035 vs 195,355/195,580 perms/s, order-controlled,
+    bench/rescue_probe.py tile sweep; the smaller VMEM live set beats the
+    extra stream interleave, same direction as DESIGN.md §21's
+    register-pressure findings)."""
     _check_kernel_value_bounds(cfg)
-    if ladder_window == "auto":
-        # The fixed-window ladder pays its 2^w-entry table build + the
-        # per-step masked selects only over long exponents: +20% on the
-        # 255-bit BLS12-381 inverse exponent (w=4: 195,537 vs 162,959
-        # perms/s, bench/rescue_probe.py), while a ~31-64-bit ladder
-        # amortizes the table over too few steps — run-length there.
-        ladder_window = 4 if cfg.inv_alpha.bit_length() >= 96 else None
-    if lane_streams is None:
-        lane_streams = 2 if sublanes % 16 == 0 else 1
-    if lane_streams > 1 and sublanes % (8 * lane_streams) != 0:
-        raise ValueError(
-            f"lane_streams={lane_streams} needs sublanes divisible by "
-            f"{8 * lane_streams} (got {sublanes})"
-        )
+    ladder_window = _resolve_ladder_window(cfg, ladder_window)
+    lane_streams = _resolve_streams(sublanes, lane_streams)
     fs = cfg.field
     L, t = fs.nlimbs, cfg.t
     tile_lanes = sublanes * 128

@@ -176,7 +176,11 @@ def test_fuzz_ladder_kernel_config(draw):
     cfg = _build(draw["family"], draw["rate"], draw["rounds"])
     fs = cfg.field
     t, L, B = cfg.t, fs.nlimbs, 256
-    rng = np.random.default_rng(FUZZ_SEED ^ hash(_cell_id(draw)) & 0xFFFF)
+    import zlib
+
+    # crc32, not hash(): str hash is salted per process and would re-roll
+    # the fuzz inputs on every run, making failures unreproducible.
+    rng = np.random.default_rng(FUZZ_SEED ^ (zlib.crc32(_cell_id(draw).encode()) & 0xFFFF))
     vals = [
         [int(v) % fs.modulus for v in rng.integers(0, 1 << 62, size=B)]
         for _ in range(t)
