@@ -30,26 +30,7 @@ import jax
 import jax.numpy as jnp
 
 
-def _random_plane(fs, t, lanes, B, rng):
-    vals = [
-        [int(v) % fs.modulus for v in rng.integers(0, 1 << 62, size=lanes)]
-        for _ in range(t)
-    ]
-    state_np = np.zeros((t, fs.nlimbs, B), dtype=np.int32)
-    state_np[:, :, :lanes] = np.stack(
-        [fs.ints_to_mont_plane(row) for row in vals], axis=0
-    )
-    return vals, state_np
-
-
-def _time_perms(fn, first_out, B, iters):
-    cur = first_out
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        cur = fn(cur)
-    _ = np.asarray(cur[0, 0, :8])
-    dt = time.perf_counter() - t0
-    return iters * B / dt
+from _harness import oracle_states, parity_gate, random_state, time_perms
 
 
 def main():
@@ -96,31 +77,15 @@ def main():
     for label, cfg, oracle_cls, jit_fn, kernel_fn, B in cases:
         if only and only not in label:
             continue
-        fs = cfg.field
-        t = cfg.t
-        vals, state_np = _random_plane(fs, t, lanes, B, rng)
-        oracle = {}
-        for b in range(0, lanes, 13):
-            o = oracle_cls(cfg)
-            o.state = [vals[i][b] for i in range(t)]
-            o.permute()
-            oracle[b] = [v % fs.modulus for v in o.state]
+        vals, state_np = random_state(cfg, lanes, B, rng)
+        oracle = oracle_states(cfg, vals, lanes)
         tiers = [("", jit_fn(cfg))]
         if kernel_fn is not None:
             tiers.append(("_kernel", kernel_fn(cfg)))
         for suffix, fn in tiers:
             out = fn(jnp.asarray(state_np))
-            out_np = np.asarray(out[:, :, :lanes])
-            for b in range(0, lanes, 13):
-                got = [
-                    fs.mont_limbs_to_int(out_np[i][:, b]) % fs.modulus
-                    for i in range(t)
-                ]
-                if got != oracle[b]:
-                    raise RuntimeError(
-                        f"{label}{suffix} PARITY FAILURE at lane {b}"
-                    )
-            pps = _time_perms(fn, out, B, iters=5)
+            parity_gate(cfg, out, vals, lanes, f"{label}{suffix}", oracle=oracle)
+            pps = time_perms(fn, out, B, iters=5)
             rows.append({"metric": f"{label}{suffix}_perms_per_sec",
                          "value": int(pps), "unit": "perms/s"})
             print(json.dumps(rows[-1]), flush=True)
@@ -129,8 +94,14 @@ def main():
     cfg_j = get_default_anemoi_parameters(FR, 1)
     fs = cfg_j.field
     B = 1 << 16
-    vals_l, left_np = _random_plane(fs, 1, lanes, B, rng)
-    vals_r, right_np = _random_plane(fs, 1, lanes, B, rng)
+    def _digest_plane():
+        vals = [int(v) % fs.modulus for v in rng.integers(0, 1 << 62, size=lanes)]
+        plane = np.zeros((1, fs.nlimbs, B), dtype=np.int32)
+        plane[0, :, :lanes] = fs.ints_to_mont_plane(vals)
+        return [vals], plane
+
+    vals_l, left_np = _digest_plane()
+    vals_r, right_np = _digest_plane()
 
     @jax.jit
     def jive_fn(a, b):

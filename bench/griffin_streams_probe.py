@@ -17,13 +17,14 @@ from __future__ import annotations
 import json
 import pathlib
 import sys
-import time
 
 import numpy as np
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 import jax.numpy as jnp
+
+from _harness import oracle_states, parity_gate, random_state, time_perms
 
 
 def main():
@@ -40,40 +41,18 @@ def main():
     from sponge_tpu.ops.pallas_griffin import griffin_permute_fn
 
     cfg = get_default_griffin_parameters(FR, 2)
-    fs = cfg.field
-    t = cfg.t
     B = 1 << 17
     lanes = 64
     rng = np.random.default_rng(20260819)
-    vals = [
-        [int(v) % fs.modulus for v in rng.integers(0, 1 << 62, size=lanes)]
-        for _ in range(t)
-    ]
-    state_np = np.zeros((t, fs.nlimbs, B), dtype=np.int32)
-    state_np[:, :, :lanes] = np.stack(
-        [fs.ints_to_mont_plane(row) for row in vals], axis=0
-    )
-    oracle = {}
-    for b in range(0, lanes, 13):
-        o = OracleGriffinSponge(cfg)
-        o.state = [vals[i][b] for i in range(t)]
-        o.permute()
-        oracle[b] = o.state
+    vals, state_np = random_state(cfg, lanes, B, rng)
+    oracle = oracle_states(cfg, vals, lanes)
 
     for sublanes, streams in variants:
         fn = griffin_permute_fn(cfg, sublanes=sublanes, lane_streams=streams)
         out = fn(jnp.asarray(state_np))
-        sub = np.asarray(out[:, :, :lanes])
-        for b in range(0, lanes, 13):
-            got = [fs.mont_limbs_to_int(sub[i][:, b]) for i in range(t)]
-            assert got == oracle[b], (sublanes, streams, b)
-        t0 = time.perf_counter()
-        reps = 5
-        cur = out
-        for _ in range(reps):
-            cur = fn(cur)
-        _ = np.asarray(cur[0, 0, :4])
-        rate = reps * B / (time.perf_counter() - t0)
+        parity_gate(cfg, out, vals, lanes, f"griffin {sublanes}:{streams}",
+                    oracle=oracle)
+        rate = time_perms(fn, out, B, iters=5)
         print(json.dumps({
             "sublanes": sublanes, "lane_streams": streams,
             "perms_per_sec": round(rate), "parity": "ok",

@@ -18,7 +18,6 @@ from __future__ import annotations
 import json
 import pathlib
 import sys
-import time
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
@@ -26,6 +25,8 @@ import numpy as np
 
 import jax
 import jax.numpy as jnp
+
+from _harness import oracle_states, parity_gate, random_state, time_perms
 
 
 def main():
@@ -53,21 +54,8 @@ def main():
         if only and only not in label:
             continue
         cfg = get_default_rescue_parameters(fs, rate)
-        t = cfg.t
-        vals = [
-            [int(v) % fs.modulus for v in rng.integers(0, 1 << 62, size=lanes)]
-            for _ in range(t)
-        ]
-        state_np = np.zeros((t, fs.nlimbs, B), dtype=np.int32)
-        state_np[:, :, :lanes] = np.stack(
-            [fs.ints_to_mont_plane(row) for row in vals], axis=0
-        )
-        oracle = {}
-        for b in range(0, lanes, 13):
-            o = OracleRescueSponge(cfg)
-            o.state = [vals[i][b] for i in range(t)]
-            o.permute()
-            oracle[b] = o.state
+        vals, state_np = random_state(cfg, lanes, B, rng)
+        oracle = oracle_states(cfg, vals, lanes)
         tiers = [
             ("xla", rescue_permute_jit(cfg)),
             ("kernel", rescue_permute_fn(cfg)),
@@ -78,21 +66,9 @@ def main():
             tiers = tiers[1:]
         for tier, fn in tiers:
             out = fn(jnp.asarray(state_np))
-            out_np = np.asarray(out[:, :, :lanes])
-            for b in range(0, lanes, 13):
-                got = [fs.mont_limbs_to_int(out_np[i][:, b]) for i in range(t)]
-                if got != oracle[b]:
-                    raise RuntimeError(
-                        f"rescue {label} {tier} PARITY FAILURE at lane {b}"
-                    )
-            iters = 5
-            cur = out
-            t0 = time.perf_counter()
-            for _ in range(iters):
-                cur = fn(cur)
-            _ = np.asarray(cur[0, 0, :8])
-            dt = time.perf_counter() - t0
-            pps = iters * B / dt
+            parity_gate(cfg, out, vals, lanes, f"rescue {label} {tier}",
+                        oracle=oracle)
+            pps = time_perms(fn, out, B, iters=5)
             print(
                 json.dumps(
                     {

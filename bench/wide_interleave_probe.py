@@ -24,7 +24,6 @@ from __future__ import annotations
 import json
 import pathlib
 import sys
-import time
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
@@ -33,38 +32,27 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from _harness import oracle_states, parity_gate, random_state, time_perms
+
 
 def main():
     variants = [
         tuple(int(x) for x in a.split(":")) for a in sys.argv[1:]
-    ] or [(0, 16, 2), (1, 16, 2), (1, 8, 2)]
+    ] or [(0, 16, 2), (1, 16, 2)]
 
     from sponge_tpu.utils.jaxcache import configure_cache
 
     configure_cache("/tmp/sponge_tpu_jax_cache")
 
-    import bench as root_bench
     from sponge_tpu import BLS12_381_FR, get_default_poseidon_parameters
     from sponge_tpu.ops.pallas_cios import cios_permute_fn
-    from sponge_tpu.poseidon.oracle import OraclePoseidonSponge
 
     cfg = get_default_poseidon_parameters(BLS12_381_FR, 2, False)
-    fs = cfg.field
     B = 1 << 20
-
     lanes = 512
-    vals = root_bench._random_state_ints(cfg, lanes)
-    state_np = np.zeros((cfg.t, fs.nlimbs, B), dtype=np.int32)
-    state_np[:, :, :lanes] = np.stack(
-        [fs.ints_to_mont_plane(row) for row in vals], axis=0
-    )
-    sample = list(range(0, lanes, 67))
-    oracle = {}
-    for b in sample:
-        o = OraclePoseidonSponge(cfg)
-        o.state = [vals[i][b] for i in range(cfg.t)]
-        o.permute()
-        oracle[b] = o.state
+    rng = np.random.default_rng(20260819)
+    vals, state_np = random_state(cfg, lanes, B, rng)
+    oracle = oracle_states(cfg, vals, lanes, stride=67)
 
     for wide, sublanes, streams in variants:
         fn = cios_permute_fn(
@@ -72,16 +60,10 @@ def main():
             wide_interleave=bool(wide),
         )
         out = fn(jnp.asarray(state_np))
-        sub = np.asarray(out[:, :, :lanes])
-        for b in sample:
-            got = [fs.mont_limbs_to_int(sub[i][:, b]) for i in range(cfg.t)]
-            assert got == oracle[b], (wide, sublanes, streams, b)
-        t0 = time.time()
-        reps = 8
-        for _ in range(reps):
-            out = fn(out)
-        _ = np.asarray(out[0, 0, :4])
-        rate = B / ((time.time() - t0) / reps)
+        parity_gate(cfg, out, vals, lanes,
+                    f"wide={wide} {sublanes}:{streams}", stride=67,
+                    oracle=oracle)
+        rate = time_perms(fn, out, B, iters=8)
         print(json.dumps({
             "wide_interleave": bool(wide), "sublanes": sublanes,
             "lane_streams": streams, "perms_per_sec": round(rate),

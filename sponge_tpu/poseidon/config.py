@@ -60,6 +60,13 @@ class PoseidonConfig:
     def rounds(self) -> int:
         return self.full_rounds + self.partial_rounds
 
+    def oracle_sponge(self):
+        """Scalar python-int duplex sponge over this permutation (test
+        oracle) — the same hook every additive family config exposes."""
+        from .oracle import OraclePoseidonSponge
+
+        return OraclePoseidonSponge(self)
+
 
 @functools.lru_cache(maxsize=None)
 def device_constants(cfg: PoseidonConfig):
