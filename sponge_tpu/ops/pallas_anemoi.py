@@ -66,7 +66,7 @@ from .pallas_rescue import (
 
 
 @functools.lru_cache(maxsize=None)
-def _check_kernel_value_bounds(cfg: AnemoiConfig) -> None:
+def _check_kernel_value_bounds(cfg: AnemoiConfig, reduce_pht: bool = False) -> None:
     """Statically iterate worst-case element VALUES through the kernel's
     round schedule to a fixpoint; raise if any Montgomery-multiplier input
     or diffusion-row sum could reach the radix R.
@@ -76,7 +76,17 @@ def _check_kernel_value_bounds(cfg: AnemoiConfig) -> None:
     the PHT adds stack two row outputs; the Flystel u/v/w combinations add
     reduced products plus constants.  31-bit fields at wide l genuinely
     fail — ``batched_anemoi_permute`` falls back to the value-safe XLA
-    tier then."""
+    tier then.
+
+    ``reduce_pht=True`` models the kernel's post-PHT Montgomery-by-1
+    reduction (Griffin's reduce_linear pattern): at l = 1 the diffusion
+    matrix is the identity — NO REDC-bounded product between the PHT adds —
+    so values grow Fibonacci-style round over round and the unreduced
+    fixpoint diverges on any long schedule (e.g. the t = 2 Jive_2 width
+    over 255-bit fields, 21 rounds).  The reduction (2*l*ns REDCs/round,
+    <1% of the ladder's products) restores values < 2p after every PHT;
+    ``anemoi_permute_fn`` enables it automatically when the unreduced
+    fixpoint fails."""
     fs = cfg.field
     p, R = fs.modulus, fs.r
     lcol = cfg.l
@@ -114,6 +124,8 @@ def _check_kernel_value_bounds(cfg: AnemoiConfig) -> None:
         Vx = Vx + Vy
         if max(Vx, Vy) >= R:
             mul(R, R)  # raise with the standard message
+        if reduce_pht:
+            Vx, Vy = mul(Vx, p), mul(Vy, p)
         u = Vx + mul(mul(Vy, Vy), p) + p  # x + (-g)*y^2 + (-g^-1)
         lad = ladder(u)
         v = Vy + mul(lad, p)  # y + (-1)*lad
@@ -123,12 +135,14 @@ def _check_kernel_value_bounds(cfg: AnemoiConfig) -> None:
     Vx, Vy = mat_row(Vx), mat_row(Vy)
     Vy = Vy + Vx
     Vx = Vx + Vy
+    if reduce_pht:
+        Vx, Vy = mul(Vx, p), mul(Vy, p)
     mul(max(Vx, Vy), p)
 
 
 def _anemoi_kernel(
     rc_ref, runs_ref, state_ref, out_ref, *, cfg, lane_streams, relaxed,
-    ladder_window=None,
+    ladder_window=None, reduce_pht=False,
 ):
     """Kernel body: (t, L, S, 128) VMEM tile through all rounds; elements
     0..l-1 are the X column, l..2l-1 the Y column.
@@ -161,6 +175,7 @@ def _anemoi_kernel(
             ("neg_g", -cfg.g),
             ("neg_ginv", -cfg.g_inv),
             ("neg_one", -1),
+            ("one", 1),
         )
     }
     if ladder_window is None:
@@ -275,6 +290,13 @@ def _anemoi_kernel(
         xs = small_norm(
             [[a + b for a, b in zip(x, y)] for x, y in zip(xs, ys)]
         )
+        if reduce_pht:
+            # Bring values back < 2p with one Montgomery-by-1 multiply per
+            # element, all 2*C chains in one interleaved emission (enabled
+            # when the unreduced fixpoint would reach R — e.g. the l = 1
+            # identity-diffusion widths; see _check_kernel_value_bounds).
+            both = cmul(xs + ys, "one")
+            xs, ys = both[:C], both[C:]
         return xs, ys
 
     def flystel(xs, ys):
@@ -356,15 +378,22 @@ def anemoi_permute_fn(
     ladder_window: int | None | str = "auto",
 ):
     """Jitted fused Anemoi permutation: (t, L, B) -> (t, L, B),
-    B % (sublanes*128) == 0.  Raises when the static value-bound check
-    fails for this config (use the XLA tier then).  ``ladder_window`` /
-    ``lane_streams`` resolve through the shared family policies
-    (pallas_rescue).  Default tile: 8 sublanes, 1 stream — measured +7%
-    over 16:2 (286,113 vs 267,317/267,434 perms/s BLS rate-3,
+    B % (sublanes*128) == 0.  The post-PHT reduction is enabled
+    automatically when the unreduced value fixpoint would reach R (the
+    l = 1 identity-diffusion widths, e.g. the t = 2 Jive_2 config);
+    raises when even the reduced schedule fails (use the XLA tier then).
+    ``ladder_window`` / ``lane_streams`` resolve through the shared family
+    policies (pallas_rescue).  Default tile: 8 sublanes, 1 stream —
+    measured +7% over 16:2 (286,113 vs 267,317/267,434 perms/s BLS rate-3,
     order-controlled; the l-pair chains already interleave without the
     stream split, and the smaller VMEM live set wins — Griffin, whose
     ladder has ONLY the stream chains, keeps 16:2)."""
-    _check_kernel_value_bounds(cfg)
+    try:
+        _check_kernel_value_bounds(cfg, False)
+        reduce_pht = False
+    except ValueError:
+        _check_kernel_value_bounds(cfg, True)
+        reduce_pht = True
     ladder_window = _resolve_ladder_window(cfg, ladder_window)
     lane_streams = _resolve_streams(sublanes, lane_streams)
     fs = cfg.field
@@ -388,7 +417,7 @@ def anemoi_permute_fn(
 
     kernel = functools.partial(
         _anemoi_kernel, cfg=cfg, lane_streams=lane_streams, relaxed=relaxed,
-        ladder_window=ladder_window,
+        ladder_window=ladder_window, reduce_pht=reduce_pht,
     )
     nbits = cfg.inv_alpha.bit_length()
     n_muls = len(runs_np) + (0 if ladder_window is None else (1 << ladder_window))

@@ -263,8 +263,13 @@ def test_anemoi_kernel_body_vs_oracle(lane_streams, relaxed):
             assert all(int(v) < (1 << 12) for v in out[i][:, b])
 
 
-def test_anemoi_kernel_single_pair():
-    """l=1 (rate 1): identity diffusion matrix path, PHT-only mixing."""
+@pytest.mark.parametrize("reduce_pht", [False, True], ids=["unreduced", "redpht"])
+def test_anemoi_kernel_single_pair(reduce_pht):
+    """l=1 (rate 1): identity diffusion matrix path, PHT-only mixing.
+
+    The redpht cell exercises the post-PHT Montgomery-by-1 reduction that
+    ``anemoi_permute_fn`` auto-enables when the unreduced value fixpoint
+    diverges (the production t=2 Jive_2 width over 255-bit fields)."""
     import jax
 
     from test_pallas_kernels import _FakeRef
@@ -295,7 +300,7 @@ def test_anemoi_kernel_single_pair():
         out_ref = _FakeRef(jnp.zeros_like(st))
         pa._anemoi_kernel(
             _FakeRef(rc), _FakeRef(runs_arr), _FakeRef(st), out_ref,
-            cfg=cfg, lane_streams=2, relaxed=True,
+            cfg=cfg, lane_streams=2, relaxed=True, reduce_pht=reduce_pht,
         )
         return out_ref.arr
 
@@ -328,7 +333,9 @@ def test_anemoi_kernel_pallas_call_interpret():
 
 def test_anemoi_kernel_value_gate():
     """The static value-bound check admits the shipped 255-bit / Goldilocks
-    defaults and the tiny-headroom CI field."""
+    defaults and the tiny-headroom CI field; the l=1 Jive_2 width diverges
+    unreduced (identity diffusion: no REDC between the PHT adds) and is
+    admitted by the post-PHT-reduction schedule."""
     from sponge_tpu.ops.pallas_anemoi import _check_kernel_value_bounds
 
     for shipped in (
@@ -337,3 +344,8 @@ def test_anemoi_kernel_value_gate():
         _tiny_headroom_anemoi_config(),
     ):
         _check_kernel_value_bounds(shipped)
+
+    jive_width = get_default_anemoi_parameters(FR, 1)  # t = 2, l = 1
+    with pytest.raises(ValueError):
+        _check_kernel_value_bounds(jive_width, False)
+    _check_kernel_value_bounds(jive_width, True)

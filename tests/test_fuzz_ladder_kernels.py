@@ -49,6 +49,7 @@ def _draw_configs(seed: int, n: int):
         lane_streams = int(rng.choice([1, 2]))
         ladder_window = [None, 2, 3][int(rng.integers(3))]
         reduce_linear = bool(rng.integers(2)) if family == "griffin" else False
+        reduce_pht = bool(rng.integers(2)) if family == "anemoi" else False
         draws.append(
             dict(
                 family=family,
@@ -58,6 +59,7 @@ def _draw_configs(seed: int, n: int):
                 lane_streams=lane_streams,
                 ladder_window=ladder_window,
                 reduce_linear=reduce_linear,
+                reduce_pht=reduce_pht,
             )
         )
     return draws
@@ -73,6 +75,7 @@ def _cell_id(d):
         f"-{'relaxed' if d['relaxed'] else 'exact'}-s{d['lane_streams']}"
         f"-{'runlen' if w is None else f'w{w}'}"
         + ("-redlin" if d["reduce_linear"] else "")
+        + ("-redpht" if d["reduce_pht"] else "")
     )
 
 
@@ -84,6 +87,7 @@ def test_fuzz_coverage_spans_flag_axes():
     assert {d["relaxed"] for d in _DRAWS} == {False, True}
     assert {d["lane_streams"] for d in _DRAWS} == {1, 2}
     assert any(d["reduce_linear"] for d in _DRAWS)
+    assert any(d["reduce_pht"] for d in _DRAWS)
     # window x streams composition appears (the fixed-window select-sum and
     # the stream split interact in chain indexing)
     assert any(
@@ -150,6 +154,7 @@ def _run_kernel_body(draw, cfg, st4, sched_np):
         from sponge_tpu.ops import pallas_anemoi as mod
 
         kernel = mod._anemoi_kernel
+        kw["reduce_pht"] = draw["reduce_pht"]
         rc_np = np.stack(
             [
                 np.concatenate(
