@@ -386,8 +386,10 @@ def merkle_open_batch_wide(levels: list, indices) -> jnp.ndarray:
     return gather(tuple(levels[:-1]), jnp.asarray(idx_np, dtype=jnp.int32))
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "backend"))
-def _verify_batch_wide_device(cfg, root, leaves, paths, indices, backend):
+@functools.partial(jax.jit, static_argnames=("cfg", "backend", "compress"))
+def _verify_batch_wide_device(cfg, root, leaves, paths, indices, backend,
+                              compress=None):
+    compress = compress or compress_digest_pairs
     fs = cfg.field
     cur = leaves  # (d, L, K)
     idx = indices
@@ -396,7 +398,7 @@ def _verify_batch_wide_device(cfg, root, leaves, paths, indices, backend):
         is_left = (idx & 1)[None, None, :] == 0
         l = jnp.where(is_left, cur, sib)
         r = jnp.where(is_left, sib, cur)
-        cur = compress_digest_pairs(cfg, l, r, backend)
+        cur = compress(cfg, l, r, backend)
         idx = idx >> 1
     got = mont.from_mont(fs, cur)
     want = mont.from_mont(fs, root[..., None])
@@ -483,3 +485,56 @@ def merkle_root_jive(
             cfg, level, backend, chunk, compress=jive_compress_pairs
         )
     return level[..., 0]
+
+
+def merkle_tree_jive(
+    cfg,
+    leaves: jnp.ndarray,
+    backend: str = "auto",
+    chunk: int = 1 << 17,
+) -> list:
+    """All levels of a Jive-mode Merkle tree, leaves first.
+
+    ``leaves``: (d, L, N) Montgomery digest plane, d = t/2, N a power of two.
+    Returns [(d, L, N), ..., (d, L, 1)]; open proofs with
+    ``merkle_open_batch_wide`` (level-indexed, compression-agnostic) and
+    check them with ``merkle_verify_batch_jive``.
+    """
+    d, L, N = leaves.shape
+    if N & (N - 1):
+        raise ValueError("leaf count must be a power of two")
+    levels = [leaves]
+    while levels[-1].shape[-1] > 1:
+        levels.append(
+            _level_compress_wide(
+                cfg, levels[-1], backend, chunk, compress=jive_compress_pairs
+            )
+        )
+    return levels
+
+
+def merkle_verify_batch_jive(
+    cfg,
+    root: jnp.ndarray,
+    leaves: jnp.ndarray,
+    paths: jnp.ndarray,
+    indices,
+    backend: str = "auto",
+) -> jnp.ndarray:
+    """Verify K Jive-mode proofs in one fused device program.
+
+    Same shapes as ``merkle_verify_batch_wide`` (root (d, L), leaves
+    (d, L, K), paths (depth, d, L, K) from ``merkle_open_batch_wide``),
+    recomputed with the Jive_2 feed-forward compression instead of the
+    sponge-mode digest compression.
+    """
+    import numpy as np
+
+    depth = paths.shape[0]
+    idx_np = np.asarray(indices, dtype=np.int64)
+    if idx_np.size and (idx_np.min() < 0 or idx_np.max() >= (1 << depth)):
+        raise IndexError(f"leaf index out of range for path depth {depth}")
+    return _verify_batch_wide_device(
+        cfg, root, leaves, paths, jnp.asarray(idx_np, dtype=jnp.int32), backend,
+        compress=jive_compress_pairs,
+    )

@@ -3,6 +3,7 @@
 from .mesh import DATA_AXIS, batch_sharding, leaf_sharding, make_mesh, replicated
 from .merkle import (
     sharded_merkle_root,
+    sharded_merkle_root_jive,
     sharded_merkle_root_wide,
     sharded_merkle_verify_batch,
 )
@@ -15,6 +16,7 @@ __all__ = [
     "make_mesh",
     "replicated",
     "sharded_merkle_root",
+    "sharded_merkle_root_jive",
     "sharded_merkle_root_wide",
     "sharded_merkle_verify_batch",
     "sharded_permute_fn",

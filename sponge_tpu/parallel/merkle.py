@@ -117,13 +117,18 @@ def sharded_merkle_root_wide(
     leaves: jnp.ndarray,
     mesh: Mesh,
     backend: str = "auto",
+    compress=None,
 ) -> jnp.ndarray:
     """Wide-digest variant: (d, L, N) digest plane sharded over ``mesh`` ->
     (d, L) root.  Same contiguous-pair layout and reshard-at-narrow cutover as
     ``sharded_merkle_root``; each node is a d-element digest (see
-    ``hash.merkle_root_wide`` — the security-correct shape for small fields)."""
+    ``hash.merkle_root_wide`` — the security-correct shape for small fields).
+    ``compress`` swaps the per-node compression (sponge-mode digest
+    compression by default; ``sharded_merkle_root_jive`` threads the Jive_2
+    feed-forward)."""
     from ..hash import compress_digest_pairs, merkle_root_wide
 
+    compress = compress or compress_digest_pairs
     d, L, N = leaves.shape
     if N & (N - 1):
         raise ValueError("leaf count must be a power of two")
@@ -132,7 +137,7 @@ def sharded_merkle_root_wide(
     def local_layer(chunk):
         n = chunk.shape[-1]
         pairs = chunk.reshape(d, L, n // 2, 2)
-        return compress_digest_pairs(cfg, pairs[..., 0], pairs[..., 1], backend)
+        return compress(cfg, pairs[..., 0], pairs[..., 1], backend)
 
     layer = shard_map(
         local_layer,
@@ -149,5 +154,34 @@ def sharded_merkle_root_wide(
 
     if level.shape[-1] > 1:
         level = jax.device_put(level, NamedSharding(mesh, P()))
-        level = merkle_root_wide(cfg, level, backend="xla")[..., None]
+        return _narrow_tail_root(cfg, level, compress)
     return level[..., 0]
+
+
+def _narrow_tail_root(cfg, level, compress):
+    """Finish a narrow (< 2 per device) replicated level; batches this small
+    never tile, so the tail always runs the XLA backend (as before)."""
+    from ..hash import _level_compress_wide
+
+    while level.shape[-1] > 1:
+        level = _level_compress_wide(
+            cfg, level, "xla", 1 << 17, compress=compress
+        )
+    return level[..., 0]
+
+
+def sharded_merkle_root_jive(
+    cfg,
+    leaves: jnp.ndarray,
+    mesh: Mesh,
+    backend: str = "auto",
+) -> jnp.ndarray:
+    """Jive-mode sharded Merkle root: (d, L, N) digest plane, d = t/2, one
+    permutation per node with the ePrint 2022/840 §4 feed-forward sum (see
+    ``hash.merkle_root_jive``); same mesh layout and narrow-tail cutover as
+    ``sharded_merkle_root_wide``."""
+    from ..hash import jive_compress_pairs
+
+    return sharded_merkle_root_wide(
+        cfg, leaves, mesh, backend, compress=jive_compress_pairs
+    )

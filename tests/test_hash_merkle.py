@@ -289,6 +289,73 @@ def test_jive_compression_vs_oracle():
     assert fs.mont_plane_to_ints(root[0][:, None])[0] == cur[0]
 
 
+def test_jive_merkle_open_verify_batch():
+    """Jive-mode Merkle proofs: merkle_tree_jive levels + the
+    compression-agnostic merkle_open_batch_wide + merkle_verify_batch_jive
+    accept genuine proofs and flag tampered leaves, paths, and indices —
+    and the sponge-mode verifier rejects Jive proofs (the two compressions
+    are distinct functions of the same tree inputs).
+
+    Config: Griffin Goldilocks rate-4 (t = 8, d = 4) — a 64-bit inverse
+    ladder keeps the depth-4 fused verify program small enough for the CPU
+    CI compile; the t = 2 Anemoi Jive width is covered by
+    ``test_jive_compression_vs_oracle`` and the TPU probes."""
+    from sponge_tpu import GOLDILOCKS_FR, get_default_griffin_parameters
+    from sponge_tpu.hash import (
+        merkle_open_batch_wide,
+        merkle_root_jive,
+        merkle_tree_jive,
+        merkle_verify_batch_jive,
+        merkle_verify_batch_wide,
+    )
+
+    cfg = get_default_griffin_parameters(GOLDILOCKS_FR, 4)  # t = 8, d = 4
+    fs = cfg.field
+    d = cfg.t // 2
+    rng = np.random.default_rng(45)
+    N = 16
+    grid = [[int(v) % fs.modulus for v in rng.integers(0, 1 << 62, size=N)]
+            for _ in range(d)]
+    leaves = jnp.asarray(
+        np.stack([fs.ints_to_mont_plane(row) for row in grid], axis=0)
+    )  # (d, L, N)
+
+    levels = merkle_tree_jive(cfg, leaves)
+    assert [lvl.shape[-1] for lvl in levels] == [16, 8, 4, 2, 1]
+    root = levels[-1][..., 0]
+    # tree root == the direct reduction
+    assert np.array_equal(np.asarray(root), np.asarray(merkle_root_jive(cfg, leaves)))
+
+    idx = [0, 3, 7, 8, 15, 10]
+    paths = merkle_open_batch_wide(levels, idx)
+    opened = jnp.take(leaves, jnp.asarray(idx, dtype=jnp.int32), axis=2)
+
+    ok = np.asarray(merkle_verify_batch_jive(cfg, root, opened, paths, idx))
+    assert ok.tolist() == [True] * len(idx)
+
+    # tampered leaf fails only that lane
+    bad_leaf = opened.at[0, 0, 2].add(1)
+    ok = np.asarray(merkle_verify_batch_jive(cfg, root, bad_leaf, paths, idx))
+    assert ok.tolist() == [True, True, False, True, True, True]
+
+    # tampered path node fails only that lane
+    bad_path = paths.at[1, 0, 0, 4].add(1)
+    ok = np.asarray(merkle_verify_batch_jive(cfg, root, opened, bad_path, idx))
+    assert ok.tolist() == [True, True, True, True, False, True]
+
+    # wrong index (direction flip) fails
+    wrong = list(idx)
+    wrong[0] = 1
+    ok = np.asarray(merkle_verify_batch_jive(cfg, root, opened, paths, wrong))
+    assert not ok[0]
+    with pytest.raises(IndexError):
+        merkle_verify_batch_jive(cfg, root, opened, paths, [N])
+
+    # the sponge-mode verifier rejects every Jive proof
+    ok = np.asarray(merkle_verify_batch_wide(cfg, root, opened, paths, idx))
+    assert not ok.any()
+
+
 def test_sharded_merkle_verify_batch_matches_local():
     """Proof-lane-sharded batched verification (8-device mesh) == the
     single-device merkle_verify_batch, incl. rejecting a tampered lane
@@ -343,6 +410,32 @@ def test_sharded_merkle_root_wide_matches_local():
     mesh = make_mesh(8)
     root_sharded = np.asarray(sharded_merkle_root_wide(cfg, leaves, mesh))
     root_local = np.asarray(merkle_root_wide(cfg, leaves))
+    for j in range(d):
+        assert fs.mont_limbs_to_int(root_sharded[j]) == fs.mont_limbs_to_int(
+            root_local[j]
+        )
+
+
+def test_sharded_merkle_root_jive_matches_local():
+    """Sharded Jive-mode Merkle root (8-device mesh, feed-forward compression,
+    narrow-tail cutover) == single-device merkle_root_jive."""
+    from sponge_tpu import GOLDILOCKS_FR, get_default_griffin_parameters
+    from sponge_tpu.hash import merkle_root_jive
+    from sponge_tpu.parallel import sharded_merkle_root_jive
+
+    fs = GOLDILOCKS_FR
+    cfg = get_default_griffin_parameters(fs, 4)  # t = 8, d = 4
+    d = cfg.t // 2
+    N = 64
+    rng = np.random.default_rng(29)
+    grid = [[int(v) % fs.modulus for v in rng.integers(0, 1 << 62, size=N)]
+            for _ in range(d)]
+    leaves = jnp.asarray(
+        np.stack([fs.ints_to_mont_plane(row) for row in grid], axis=0)
+    )
+    mesh = make_mesh(8)
+    root_sharded = np.asarray(sharded_merkle_root_jive(cfg, leaves, mesh))
+    root_local = np.asarray(merkle_root_jive(cfg, leaves))
     for j in range(d):
         assert fs.mont_limbs_to_int(root_sharded[j]) == fs.mont_limbs_to_int(
             root_local[j]
