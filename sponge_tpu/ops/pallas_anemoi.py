@@ -372,7 +372,7 @@ def _anemoi_kernel(
 def anemoi_permute_fn(
     cfg: AnemoiConfig,
     interpret: bool = False,
-    sublanes: int = 8,
+    sublanes: int | None = None,
     lane_streams: int | None = None,
     relaxed: bool = True,
     ladder_window: int | None | str = "auto",
@@ -383,11 +383,16 @@ def anemoi_permute_fn(
     l = 1 identity-diffusion widths, e.g. the t = 2 Jive_2 config);
     raises when even the reduced schedule fails (use the XLA tier then).
     ``ladder_window`` / ``lane_streams`` resolve through the shared family
-    policies (pallas_rescue).  Default tile: 8 sublanes, 1 stream —
-    measured +7% over 16:2 (286,113 vs 267,317/267,434 perms/s BLS rate-3,
-    order-controlled; the l-pair chains already interleave without the
-    stream split, and the smaller VMEM live set wins — Griffin, whose
-    ladder has ONLY the stream chains, keeps 16:2)."""
+    policies (pallas_rescue).  Default tile: 8 sublanes, 1 stream at
+    l >= 2 — measured +7% over 16:2 (286,113 vs 267,317/267,434 perms/s
+    BLS rate-3, order-controlled; the l-pair chains already interleave
+    without the stream split, and the smaller VMEM live set wins) — but
+    16 sublanes / 2 streams at l = 1 (the t = 2 Jive width): with a single
+    Flystel column the ladder carries ONE chain per stream, Griffin's
+    regime, and 16:2 measured +7% (380,932 vs 356,358/252,946 perms/s BLS
+    t=2, order-controlled; bench/jive_tile_probe.py)."""
+    if sublanes is None:
+        sublanes = 16 if cfg.l == 1 else 8
     try:
         _check_kernel_value_bounds(cfg, False)
         reduce_pht = False
