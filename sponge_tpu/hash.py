@@ -95,9 +95,10 @@ def merkle_root(
     N must be a power of two.  Each tree level is a batched 2-to-1 compression
     over contiguous pairs.  To keep the number of distinct compiled kernel
     shapes constant regardless of depth, wide levels are processed in
-    fixed-size ``chunk`` slices and narrow levels are zero-padded up to one
-    kernel tile (padding lanes compute a valid all-zero compression and are
-    discarded) — two compiled shapes total instead of log2(N).
+    fixed-size ``chunk`` slices and narrow levels are zero-padded up to the
+    nearest ``_pad_ladder`` shape (padding lanes compute a valid all-zero
+    compression and are discarded) — ~1+log4(chunk/2048) compiled shapes
+    instead of log2(N), with padded-tail waste bounded at 3x per level.
     See ``sponge_tpu.parallel.merkle`` for the sharded multi-device version.
     """
     L, N = leaves.shape
@@ -110,10 +111,40 @@ def merkle_root(
     return level[:, 0]
 
 
+def _pad_ladder(chunk: int, tile: int = 2048) -> tuple:
+    """Padded batch shapes for narrow tree levels: ``chunk``, chunk/4, …, tile.
+
+    A 2-to-1 tree halves each level, so the last log2(chunk) levels are
+    narrower than ``chunk``; padding every one of them up to a single chunk
+    shape costs ~log2(chunk) * chunk wasted permutations per tree (measured
+    13% of the whole 2^24-leaf BLS tree).  A geometric ratio-4 ladder bounds
+    the per-level waste at 3x the level width for a handful of extra
+    compiled shapes; ``tile`` is the floor every fused kernel's batch must
+    be a multiple of (ops.pallas_cios.TILE_LANES)."""
+    if chunk <= tile:
+        return (chunk,)
+    shapes = []
+    s = chunk
+    while s > tile:
+        shapes.append(s)
+        s //= 4
+    shapes.append(tile)
+    return tuple(shapes)
+
+
+def _pad_target(n: int, chunk: int) -> int:
+    """Smallest ladder shape >= n (n < chunk)."""
+    for s in reversed(_pad_ladder(chunk)):
+        if s >= n:
+            return s
+    return chunk
+
+
 def _level_compress(cfg, l, r, backend, chunk):
     """One tree level through a constant set of compiled kernel shapes: wide
     levels are sliced into ``chunk`` pieces, narrow levels (on TPU) are padded
-    up to one chunk (padding lanes compute a valid all-zero compression)."""
+    up to the nearest ladder shape (padding lanes compute a valid all-zero
+    compression)."""
     n = l.shape[-1]
     if n > chunk and n % chunk == 0:
         outs = [
@@ -122,7 +153,7 @@ def _level_compress(cfg, l, r, backend, chunk):
         ]
         return jnp.concatenate(outs, axis=-1)
     if n < chunk and jax.default_backend() == "tpu":
-        pad = chunk - n
+        pad = _pad_target(n, chunk) - n
         lp = jnp.pad(l, [(0, 0), (0, pad)])
         rp = jnp.pad(r, [(0, 0), (0, pad)])
         return compress_pairs(cfg, lp, rp, backend)[..., :n]
@@ -320,7 +351,7 @@ def _level_compress_wide(cfg, level, backend, chunk, compress=None):
             axis=-1,
         )
     if n < chunk and jax.default_backend() == "tpu":
-        pad = chunk - n
+        pad = _pad_target(n, chunk) - n
         lp = jnp.pad(l, [(0, 0), (0, 0), (0, pad)])
         rp = jnp.pad(r, [(0, 0), (0, 0), (0, pad)])
         return compress(cfg, lp, rp, backend)[..., :n]

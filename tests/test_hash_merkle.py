@@ -440,3 +440,29 @@ def test_sharded_merkle_root_jive_matches_local():
         assert fs.mont_limbs_to_int(root_sharded[j]) == fs.mont_limbs_to_int(
             root_local[j]
         )
+
+
+def test_pad_ladder_shapes():
+    """The narrow-level pad ladder: geometric ratio-4 shapes from chunk down
+    to the kernel tile floor; every target is the smallest shape >= n, so the
+    padded-tail waste per level is bounded at 3x the level width (vs
+    chunk - n with the old single-shape padding)."""
+    from sponge_tpu.hash import _pad_ladder, _pad_target
+
+    assert _pad_ladder(1 << 17) == (1 << 17, 1 << 15, 1 << 13, 1 << 11)
+    assert _pad_ladder(2048) == (2048,)
+    assert _pad_ladder(1024) == (1024,)  # sub-tile chunk stays itself
+    for chunk in (1 << 17, 1 << 16, 1 << 12):
+        ladder = _pad_ladder(chunk)
+        # every shape a multiple of the 2048 tile (or the chunk itself)
+        for s in ladder:
+            assert s == chunk or s % 2048 == 0
+        for n in (1, 2, 100, 2048, 2049, 5000, chunk - 1, chunk):
+            if n > chunk:
+                continue
+            tgt = _pad_target(n, chunk)
+            assert tgt >= n
+            assert tgt in ladder
+            # minimality: no smaller ladder shape fits
+            smaller = [s for s in ladder if n <= s < tgt]
+            assert not smaller
