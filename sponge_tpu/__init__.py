@@ -59,6 +59,7 @@ from .poseidon.params import (
     find_poseidon_ark_and_mds,
     get_default_poseidon_parameters,
     poseidon_test_fixture,
+    register_default_table,
 )
 from .poseidon2 import (
     OraclePoseidon2Sponge,
@@ -134,6 +135,7 @@ __all__ = [
     "PoseidonConfig",
     "find_poseidon_ark_and_mds",
     "get_default_poseidon_parameters",
+    "register_default_table",
     "PoseidonSponge",
     "LazyPoseidonSponge",
     "HostPoseidonSponge",

@@ -104,6 +104,7 @@ def merkle_root(
     L, N = leaves.shape
     if N & (N - 1):
         raise ValueError("leaf count must be a power of two")
+    chunk = max(1, min(chunk, N // 2))  # bucket ceiling: the first level's width
     level = leaves
     while level.shape[-1] > 1:
         pairs = level.reshape(L, level.shape[-1] // 2, 2)
@@ -111,7 +112,18 @@ def merkle_root(
     return level[:, 0]
 
 
-def _pad_ladder(chunk: int, tile: int = 2048) -> tuple:
+def _tile_lanes() -> int:
+    """The fused CIOS kernel's batch-tile floor (ops.pallas_cios.TILE_LANES).
+
+    Imported lazily so hash.py does not pull the Pallas module at import time;
+    keeping the padding floor tied to the tuned constant means a SUBLANES
+    retune can never silently push padded levels off the fused kernel path."""
+    from .ops.pallas_cios import TILE_LANES
+
+    return TILE_LANES
+
+
+def _pad_ladder(chunk: int, tile: int | None = None) -> tuple:
     """Padded batch shapes for narrow tree levels: ``chunk``, chunk/4, …, tile.
 
     A 2-to-1 tree halves each level, so the last log2(chunk) levels are
@@ -121,8 +133,10 @@ def _pad_ladder(chunk: int, tile: int = 2048) -> tuple:
     the per-level waste at 3x the level width for a handful of extra
     compiled shapes; ``tile`` is the floor every fused kernel's batch must
     be a multiple of (ops.pallas_cios.TILE_LANES)."""
+    if tile is None:
+        tile = _tile_lanes()
     if chunk <= tile:
-        return (chunk,)
+        return (tile,)
     shapes = []
     s = chunk
     while s > tile:
@@ -134,17 +148,34 @@ def _pad_ladder(chunk: int, tile: int = 2048) -> tuple:
 
 def _pad_target(n: int, chunk: int) -> int:
     """Smallest ladder shape >= n (n < chunk)."""
-    for s in reversed(_pad_ladder(chunk)):
+    ladder = _pad_ladder(chunk)
+    for s in reversed(ladder):
         if s >= n:
             return s
+    return ladder[0]
+
+
+def _pad_width(n: int, chunk: int) -> int:
+    """Padded lane count for an ``n``-lane narrow tree level (n < chunk).
+
+    TPU: already-tile-aligned widths run as-is (they are valid fused-kernel
+    batches; padding them would double real work for nothing), everything
+    else pads up to the nearest ratio-4 ladder shape with a TILE_LANES floor.
+    CPU (the test/dryrun mesh): every narrow level pads to ``chunk`` so the
+    whole tree reuses ONE compiled program per level shape — on the 8-virtual-
+    device CPU mesh compile time, not execution, is the cost that matters."""
+    if jax.default_backend() == "tpu":
+        if n % _tile_lanes() == 0:
+            return n
+        return _pad_target(n, chunk)
     return chunk
 
 
 def _level_compress(cfg, l, r, backend, chunk):
     """One tree level through a constant set of compiled kernel shapes: wide
-    levels are sliced into ``chunk`` pieces, narrow levels (on TPU) are padded
-    up to the nearest ladder shape (padding lanes compute a valid all-zero
-    compression)."""
+    levels are sliced into ``chunk`` pieces, narrow levels are padded up to a
+    shared bucket shape (padding lanes compute a valid all-zero compression;
+    see ``_pad_width``)."""
     n = l.shape[-1]
     if n > chunk and n % chunk == 0:
         outs = [
@@ -152,11 +183,12 @@ def _level_compress(cfg, l, r, backend, chunk):
             for i in range(0, n, chunk)
         ]
         return jnp.concatenate(outs, axis=-1)
-    if n < chunk and jax.default_backend() == "tpu":
-        pad = _pad_target(n, chunk) - n
-        lp = jnp.pad(l, [(0, 0), (0, pad)])
-        rp = jnp.pad(r, [(0, 0), (0, pad)])
-        return compress_pairs(cfg, lp, rp, backend)[..., :n]
+    if n < chunk:
+        pad = _pad_width(n, chunk) - n
+        if pad:
+            lp = jnp.pad(l, [(0, 0), (0, pad)])
+            rp = jnp.pad(r, [(0, 0), (0, pad)])
+            return compress_pairs(cfg, lp, rp, backend)[..., :n]
     return compress_pairs(cfg, l, r, backend)
 
 
@@ -171,6 +203,7 @@ def merkle_tree(
     L, N = leaves.shape
     if N & (N - 1):
         raise ValueError("leaf count must be a power of two")
+    chunk = max(1, min(chunk, N // 2))
     levels = [leaves]
     while levels[-1].shape[-1] > 1:
         cur = levels[-1]
@@ -350,11 +383,12 @@ def _level_compress_wide(cfg, level, backend, chunk, compress=None):
             ],
             axis=-1,
         )
-    if n < chunk and jax.default_backend() == "tpu":
-        pad = _pad_target(n, chunk) - n
-        lp = jnp.pad(l, [(0, 0), (0, 0), (0, pad)])
-        rp = jnp.pad(r, [(0, 0), (0, 0), (0, pad)])
-        return compress(cfg, lp, rp, backend)[..., :n]
+    if n < chunk:
+        pad = _pad_width(n, chunk) - n
+        if pad:
+            lp = jnp.pad(l, [(0, 0), (0, 0), (0, pad)])
+            rp = jnp.pad(r, [(0, 0), (0, 0), (0, pad)])
+            return compress(cfg, lp, rp, backend)[..., :n]
     return compress(cfg, l, r, backend)
 
 
@@ -372,6 +406,7 @@ def merkle_tree_wide(
     d, L, N = leaves.shape
     if N & (N - 1):
         raise ValueError("leaf count must be a power of two")
+    chunk = max(1, min(chunk, N // 2))
     levels = [leaves]
     while levels[-1].shape[-1] > 1:
         levels.append(_level_compress_wide(cfg, levels[-1], backend, chunk))
@@ -389,6 +424,7 @@ def merkle_root_wide(
     d, L, N = level.shape
     if N & (N - 1):
         raise ValueError("leaf count must be a power of two")
+    chunk = max(1, min(chunk, N // 2))
     while level.shape[-1] > 1:
         level = _level_compress_wide(cfg, level, backend, chunk)
     return level[..., 0]
@@ -510,6 +546,7 @@ def merkle_root_jive(
     d, L, N = leaves.shape
     if N & (N - 1):
         raise ValueError("leaf count must be a power of two")
+    chunk = max(1, min(chunk, N // 2))
     level = leaves
     while level.shape[-1] > 1:
         level = _level_compress_wide(
@@ -534,6 +571,7 @@ def merkle_tree_jive(
     d, L, N = leaves.shape
     if N & (N - 1):
         raise ValueError("leaf count must be a power of two")
+    chunk = max(1, min(chunk, N // 2))
     levels = [leaves]
     while levels[-1].shape[-1] > 1:
         levels.append(

@@ -27,7 +27,17 @@ from .sponge import PoseidonSponge
 from .transcript import _replay, segment_bookkeeping
 
 
-@functools.lru_cache(maxsize=None)
+# Bounded: a long-running process issuing irregular absorb/squeeze segment
+# shapes would otherwise compile and retain XLA programs without limit (the
+# same per-process compiler-state accumulation tests/conftest.py documents as
+# a crash trigger).  LRU eviction drops the jitted closure — and with it the
+# PjitFunction's compiled-executable cache — once 128 distinct
+# (config, segment shape, start mode/index, backend) keys are live; hot
+# Fiat–Shamir loops reuse a handful of keys and never evict.
+SEGMENT_CACHE_SIZE = 128
+
+
+@functools.lru_cache(maxsize=SEGMENT_CACHE_SIZE)
 def _segment_fn(
     cfg: PoseidonConfig,
     steps: Tuple,

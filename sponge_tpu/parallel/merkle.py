@@ -22,9 +22,33 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
-from ..hash import compress_pairs, merkle_root
+from ..hash import _pad_width, compress_pairs, merkle_root
 from ..poseidon.config import PoseidonConfig
 from .mesh import DATA_AXIS, leaf_sharding
+
+
+def _bucketed_wide_phase(level, layer, D, chunk_local):
+    """Run the wide (sharded) tree phase through a constant set of compiled
+    ``shard_map`` programs.
+
+    Each level's per-device width is padded up to a bucket shape
+    (``hash._pad_width``: ratio-4 ladder with a TILE_LANES floor on TPU; the
+    full ``chunk_local`` on the CPU test mesh, where compile time dominates and
+    one shared program beats log2(N) per-width compiles).  Padding lanes sit at
+    the END of the global lane axis, so under the contiguous-chunk sharding the
+    real pairs are exactly the first n/2 outputs — slice and continue.  Padding
+    lanes compute a valid all-zero compression and are discarded."""
+    chunk_local = max(2, min(chunk_local, level.shape[-1] // D))
+    while level.shape[-1] >= 2 * D and level.shape[-1] > 1:
+        n = level.shape[-1]
+        n_local = n // D
+        tgt_local = _pad_width(n_local, chunk_local) if n_local < chunk_local else n_local
+        pad = tgt_local * D - n
+        if pad:
+            widths = [(0, 0)] * (level.ndim - 1) + [(0, pad)]
+            level = jnp.pad(level, widths)
+        level = layer(level)[..., : n // 2]
+    return level
 
 
 def sharded_merkle_root(
@@ -50,17 +74,23 @@ def sharded_merkle_root(
         pairs = chunk.reshape(L, n // 2, 2)
         return compress_pairs(cfg, pairs[..., 0], pairs[..., 1], backend)
 
-    layer = shard_map(
-        local_layer,
-        mesh=mesh,
-        in_specs=P(None, DATA_AXIS),
-        out_specs=P(None, DATA_AXIS),
+    # jit-wrapped: bare shard_map calls re-trace and re-compile on EVERY
+    # invocation even at identical shapes; under jit the per-shape executable
+    # is cached, so the bucketed wide phase really does compile once.
+    layer = jax.jit(
+        shard_map(
+            local_layer,
+            mesh=mesh,
+            in_specs=P(None, DATA_AXIS),
+            out_specs=P(None, DATA_AXIS),
+        )
     )
 
     level = jax.device_put(leaves, leaf_sharding(mesh))
     # Wide phase: every level halves; stop once pairs would straddle shards.
-    while level.shape[-1] >= 2 * D and level.shape[-1] > 1:
-        level = layer(level)
+    # Levels are padded to shared bucket shapes so the phase compiles a
+    # constant number of programs regardless of depth (_bucketed_wide_phase).
+    level = _bucketed_wide_phase(level, layer, D, 1 << 17)
 
     # Narrow tail: one gather, then finish replicated (O(D) nodes left).
     if level.shape[-1] > 1:
@@ -139,18 +169,19 @@ def sharded_merkle_root_wide(
         pairs = chunk.reshape(d, L, n // 2, 2)
         return compress(cfg, pairs[..., 0], pairs[..., 1], backend)
 
-    layer = shard_map(
-        local_layer,
-        mesh=mesh,
-        in_specs=P(None, None, DATA_AXIS),
-        out_specs=P(None, None, DATA_AXIS),
+    layer = jax.jit(
+        shard_map(
+            local_layer,
+            mesh=mesh,
+            in_specs=P(None, None, DATA_AXIS),
+            out_specs=P(None, None, DATA_AXIS),
+        )
     )
 
     level = jax.device_put(
         leaves, NamedSharding(mesh, P(None, None, DATA_AXIS))
     )
-    while level.shape[-1] >= 2 * D and level.shape[-1] > 1:
-        level = layer(level)
+    level = _bucketed_wide_phase(level, layer, D, 1 << 17)
 
     if level.shape[-1] > 1:
         level = jax.device_put(level, NamedSharding(mesh, P()))
@@ -160,12 +191,15 @@ def sharded_merkle_root_wide(
 
 def _narrow_tail_root(cfg, level, compress):
     """Finish a narrow (< 2 per device) replicated level; batches this small
-    never tile, so the tail always runs the XLA backend (as before)."""
+    never tile, so the tail always runs the XLA backend (as before).  The
+    bucket chunk is capped at the tail's own width so every tail level shares
+    one compiled shape."""
     from ..hash import _level_compress_wide
 
+    chunk = max(1, level.shape[-1] // 2)
     while level.shape[-1] > 1:
         level = _level_compress_wide(
-            cfg, level, "xla", 1 << 17, compress=compress
+            cfg, level, "xla", chunk, compress=compress
         )
     return level[..., 0]
 

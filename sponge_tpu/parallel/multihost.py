@@ -54,28 +54,83 @@ def global_mesh() -> Mesh:
     return Mesh(np.asarray(jax.devices()), (DATA_AXIS,))
 
 
-def scaling_report(cfg, batch_per_device: int = 1 << 17, reps: int = 5) -> dict:
+def scaling_report(
+    cfg,
+    batch_per_device: int = 1 << 17,
+    reps: int = 5,
+    parity_lanes: int = 64,
+    parity_stride: int = 7,
+) -> dict:
     """Measure sharded permutation throughput on the global mesh.
 
     Returns {devices, perms_per_sec, perms_per_sec_per_device} — the harness
     behind the >=90% multi-host scaling-efficiency target (BASELINE.md): compare
     ``perms_per_sec_per_device`` across 1-chip / 1-host / N-host runs.
+
+    Parity-gated like every bench probe (bench/_harness.py's refuse-to-report
+    rule): lanes are seeded with ``parity_lanes`` random field elements tiled
+    periodically across the batch, and the first permutation's output is
+    checked against the scalar oracle on this process's addressable shard
+    before any number is reported.  Raises RuntimeError on mismatch.  The
+    periodic tiling makes every device's shard verifiable locally, so the gate
+    works unchanged in multi-process (jax.distributed) runs.
     """
     import time
 
-    from .sharded import sharded_permute_fn, sharded_state
+    from .mesh import batch_sharding
+    from .sharded import sharded_permute_fn
 
+    fs = cfg.field
     mesh = global_mesh()
     D = mesh.devices.size
     B = batch_per_device * D
+    parity_lanes = min(parity_lanes, batch_per_device)
+    sharding = batch_sharding(mesh)
+
+    # Seed lanes: parity_lanes random canonical elements per state row, tiled
+    # periodically across the batch so any contiguous shard holds known lanes.
+    rng = np.random.default_rng(1234)
+    vals = [
+        [int(v) % fs.modulus for v in rng.integers(0, 1 << 62, size=parity_lanes)]
+        for _ in range(cfg.t)
+    ]
+    seed_plane = np.stack([fs.ints_to_mont_plane(row) for row in vals], axis=0)
+
+    def shard_data(index):
+        sl = index[-1]
+        cols = np.arange(sl.start or 0, B if sl.stop is None else sl.stop)
+        return seed_plane[index[0], index[1], :][..., cols % parity_lanes]
+
+    state = jax.make_array_from_callback((cfg.t, fs.nlimbs, B), sharding, shard_data)
     fn = sharded_permute_fn(cfg, mesh)
-    state = sharded_state(cfg, mesh, B)
     out = fn(state)
-    _ = np.asarray(jax.device_get(out[0, 0, :4]))
+
+    # Scalar-oracle expectations for every seed lane (host bigint; cheap).
+    oracle = []
+    for b in range(parity_lanes):
+        o = cfg.oracle_sponge()
+        o.state = [vals[i][b] for i in range(cfg.t)]
+        o.permute()
+        oracle.append([v % fs.modulus for v in o.state])
+
+    # Parity gate on the locally-addressable shard (works under multi-process).
+    shard = out.addressable_shards[0]
+    start = shard.index[-1].start or 0
+    local = np.asarray(shard.data)
+    for k in range(0, min(parity_lanes, local.shape[-1]), parity_stride):
+        got = [
+            fs.mont_limbs_to_int(local[i][:, k]) % fs.modulus for i in range(cfg.t)
+        ]
+        if got != oracle[(start + k) % parity_lanes]:
+            raise RuntimeError(
+                f"scaling_report PARITY FAILURE at local lane {k} "
+                f"(global {start + k}); refusing to report a throughput number"
+            )
+
     t0 = time.time()
     for _ in range(reps):
         out = fn(out)
-    _ = np.asarray(jax.device_get(out[0, 0, :4]))
+    _ = np.asarray(out.addressable_shards[0].data[0, 0, :4])
     dt = (time.time() - t0) / reps
     return {
         "devices": D,

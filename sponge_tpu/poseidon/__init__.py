@@ -6,6 +6,7 @@ from .params import (
     PoseidonGrainLFSR,
     find_poseidon_ark_and_mds,
     get_default_poseidon_parameters,
+    register_default_table,
 )
 from .permutation import permute, permute_jit, zero_state
 
@@ -16,6 +17,7 @@ __all__ = [
     "PoseidonGrainLFSR",
     "find_poseidon_ark_and_mds",
     "get_default_poseidon_parameters",
+    "register_default_table",
     "permute",
     "permute_jit",
     "zero_state",

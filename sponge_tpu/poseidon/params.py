@@ -239,6 +239,48 @@ _DEFAULT_CAPACITY = {
 }
 
 
+def register_default_table(
+    fs: FieldSpec,
+    table,
+    capacity: int = 1,
+    optimized_for_weights_table=None,
+) -> None:
+    """Register default Poseidon parameter tables for a user-supplied field.
+
+    Mirrors the reference's extensibility contract: ANY field may implement
+    ``PoseidonDefaultConfig`` and gain ``get_default_poseidon_parameters``
+    ergonomics (/root/reference/src/poseidon/traits.rs:43-66) — here a host
+    registry call instead of a trait impl, so downstream fields never edit
+    this module.
+
+    ``table``: iterable of ``(rate, alpha, full_rounds, partial_rounds,
+    skip_matrices)`` rows (the reference's ``PoseidonDefaultConfigEntry``
+    shape, traits.rs:7-40).  ``capacity``: sponge capacity in state elements
+    (the reference hardcodes 1, traits.rs:96; small fields need more — see
+    ``_DEFAULT_CAPACITY``).  ``optimized_for_weights_table`` defaults to
+    ``table`` (the reference keeps two tables; most added fields ship one).
+
+    Re-registering a field name overwrites its tables (idempotent setup);
+    registering one of the built-in fields is allowed and overrides it.
+    """
+    rows = tuple(tuple(int(v) for v in row) for row in table)
+    for row in rows:
+        if len(row) != 5:
+            raise ValueError(
+                "table rows must be (rate, alpha, full_rounds, partial_rounds,"
+                f" skip_matrices); got {row}"
+            )
+    weights = (
+        rows
+        if optimized_for_weights_table is None
+        else tuple(tuple(int(v) for v in row) for row in optimized_for_weights_table)
+    )
+    if capacity < 1:
+        raise ValueError("capacity must be >= 1")
+    _DEFAULT_TABLES[fs.name] = {False: rows, True: weights}
+    _DEFAULT_CAPACITY[fs.name] = capacity
+
+
 @functools.lru_cache(maxsize=None)
 def poseidon_test_fixture() -> PoseidonConfig:
     """The reference's hardcoded test parameter set (tests.rs:120-820).

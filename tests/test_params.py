@@ -95,3 +95,40 @@ def test_default_params_golden(rate, weights):
     assert cfg.capacity == 1
     assert cfg.rate == rate
     assert len(cfg.ark) == cfg.full_rounds + cfg.partial_rounds
+
+
+def test_register_default_table():
+    """User-extensible default-table registry (reference extensibility parity:
+    any field may implement PoseidonDefaultConfig, traits.rs:43-66)."""
+    from conftest import TINY_FR_45
+
+    from sponge_tpu.poseidon.params import register_default_table
+
+    # A never-registered field has no defaults...
+    with pytest.raises(KeyError):
+        get_default_poseidon_parameters(TINY_FR_45, 2)
+
+    # ...until registered; then the full param-gen path (Grain LFSR + Cauchy
+    # MDS + capacity override) runs for it.
+    register_default_table(TINY_FR_45, [(2, 5, 4, 3, 0), (3, 5, 4, 3, 1)], capacity=2)
+    cfg = get_default_poseidon_parameters(TINY_FR_45, 2)
+    assert (cfg.rate, cfg.capacity, cfg.t) == (2, 2, 4)
+    assert (cfg.alpha, cfg.full_rounds, cfg.partial_rounds) == (5, 4, 3)
+    assert len(cfg.ark) == 7 and all(len(r) == 4 for r in cfg.ark)
+    assert len(cfg.mds) == 4 and all(len(r) == 4 for r in cfg.mds)
+    p = TINY_FR_45.modulus
+    assert all(0 <= v < p for row in cfg.ark for v in row)
+    # deterministic: same registration -> same constants; skip_matrices shifts
+    # the MDS draw stream (traits.rs:127-129)
+    cfg2 = get_default_poseidon_parameters(TINY_FR_45, 2)
+    assert cfg2.ark == cfg.ark and cfg2.mds == cfg.mds
+    cfg3 = get_default_poseidon_parameters(TINY_FR_45, 3)
+    assert cfg3.t == 5
+
+    # unknown rate still raises ValueError (reference returns None)
+    with pytest.raises(ValueError):
+        get_default_poseidon_parameters(TINY_FR_45, 7)
+
+    # malformed rows are rejected
+    with pytest.raises(ValueError):
+        register_default_table(TINY_FR_45, [(2, 5, 4)])

@@ -45,3 +45,27 @@ def test_scaling_report_virtual_mesh():
     report = scaling_report(CFG, batch_per_device=8, reps=1)
     assert report["devices"] == 8
     assert report["perms_per_sec"] > 0
+
+
+def test_scaling_report_parity_gate_refuses(monkeypatch):
+    """The scaling harness obeys the repo-wide refuse-to-report rule
+    (VERDICT r3 Weak #5): a kernel that does not reproduce the oracle must
+    raise, not emit a throughput number."""
+    import pytest
+    from conftest import tiny_poseidon_config
+
+    import sponge_tpu.parallel.sharded as sharded_mod
+
+    real = sharded_mod.sharded_permute_fn
+
+    def corrupted(cfg, mesh, backend="auto"):
+        fn = real(cfg, mesh, backend)
+
+        def bad(state):
+            return fn(state).at[0, 0, :].add(1)
+
+        return bad
+
+    monkeypatch.setattr(sharded_mod, "sharded_permute_fn", corrupted)
+    with pytest.raises(RuntimeError, match="PARITY FAILURE"):
+        scaling_report(tiny_poseidon_config(), batch_per_device=8, reps=1)
