@@ -64,13 +64,61 @@ def sbox_muls(alpha: int) -> int:
     return (len(bits) - 1) + bits[1:].count("1")
 
 
+def kernel_op_census(fn, *arg_shapes) -> dict:
+    """EXACT per-element ALU-op counts of a traced function, by jaxpr walk.
+
+    Traces ``fn`` over ``arg_shapes`` (jax.ShapeDtypeStruct, or arrays) and
+    sums the element counts of every elementwise integer ALU primitive,
+    recursing into nested jaxprs (pallas_call kernel bodies, scan bodies
+    multiplied by their trip count).  This is measurement, not modeling — the
+    companion to ``op_counts``'s static estimate (for the unrolled CIOS
+    kernel the estimate overcounts multiplies by ~21%: it assumes dense MDS
+    every round, while the kernel's partial rounds use the sparse-factorized
+    form).  Used by bench/vpu_roofline_probe.py to convert measured perms/s
+    into sustained int32 ops/s for the DESIGN §23 roofline.
+
+    Returns {primitive_name: total_output_elements}; divide by the batch/tile
+    width for per-lane counts.
+    """
+    _COUNTED = {
+        "mul", "add", "sub", "and", "or", "xor", "shift_left",
+        "shift_right_logical", "shift_right_arithmetic", "select_n", "ne",
+        "eq", "lt", "ge", "gt", "le", "max", "min",
+    }
+    jaxpr = jax.make_jaxpr(fn)(*arg_shapes)
+    counts: dict = {}
+
+    def walk(jx, mult):
+        for eqn in jx.eqns:
+            prim = eqn.primitive.name
+            if prim in _COUNTED:
+                shape = eqn.outvars[0].aval.shape
+                n = 1
+                for s in shape:
+                    n *= int(s)
+                counts[prim] = counts.get(prim, 0) + n * mult
+            inner_mult = mult
+            if prim == "scan":
+                inner_mult = mult * int(eqn.params.get("length", 1))
+            for v in eqn.params.values():
+                for item in v if isinstance(v, (list, tuple)) else [v]:
+                    if hasattr(item, "jaxpr") and hasattr(item.jaxpr, "eqns"):
+                        walk(item.jaxpr, inner_mult)
+                    elif hasattr(item, "eqns"):
+                        walk(item, inner_mult)
+
+    walk(jaxpr.jaxpr, 1)
+    return counts
+
+
 def op_counts(cfg: PoseidonConfig) -> dict:
     """Static per-permutation arithmetic accounting for ``cfg``.
 
     ``field_muls`` counts Montgomery multiplies exactly as the scalar reference
     performs them (mod.rs:95-118); ``int32_muls_cios`` estimates the unrolled
     CIOS kernel's 32-bit multiply count per lane (schoolbook 2L^2-ish per field
-    mul, MDS rows sharing reductions).
+    mul, MDS rows sharing reductions; ``kernel_op_census`` measures the true
+    emitted counts from the kernel jaxpr).
     """
     L = cfg.field.nlimbs
     t = cfg.t

@@ -36,6 +36,48 @@ def test_throughput_meter():
     assert rate > 0
 
 
+def test_kernel_op_census():
+    """Exact jaxpr op census: element counts, scan trip multiplication, and
+    nested-jaxpr recursion (the measurement behind DESIGN §23's roofline)."""
+    import jax.numpy as jnp
+
+    from sponge_tpu.utils.profiling import kernel_op_census
+
+    shape = jax.ShapeDtypeStruct((4, 8), jnp.int32)
+
+    c = kernel_op_census(lambda x: x * x + x, shape)
+    assert c["mul"] == 32 and c["add"] == 32
+
+    def scanned(x):
+        def body(carry, _):
+            return carry * x, None
+
+        out, _ = jax.lax.scan(body, x, None, length=5)
+        return out
+
+    c = kernel_op_census(scanned, shape)
+    assert c["mul"] == 5 * 32
+
+    # the census sees through the CIOS kernel body (tiny field, CI-fast)
+    from conftest import tiny_poseidon_config
+
+    from sponge_tpu.ops.pallas_cios import TILE_LANES, cios_permute_fn
+
+    tcfg = tiny_poseidon_config()
+    census = kernel_op_census(
+        cios_permute_fn(tcfg),
+        jax.ShapeDtypeStruct(
+            (tcfg.t, tcfg.field.nlimbs, TILE_LANES), jnp.int32
+        ),
+    )
+    per_lane = {k: v / TILE_LANES for k, v in census.items()}
+    # L=3-limb schoolbook+REDC products x (sbox_apps*sbox_muls + MDS): the
+    # exact count is the kernel's to choose, but it must be in the hundreds
+    # per lane and integral (whole vector ops per lane).
+    assert 100 < per_lane["mul"] < 20000, per_lane
+    assert per_lane["mul"] == int(per_lane["mul"])
+
+
 def test_initialize_single_process_noop():
     initialize()  # must not raise without cluster args
 
