@@ -331,6 +331,87 @@ def _sparse_apply(
 
 QUASI_LIMB_MAX = (1 << LIMB_BITS) + 128  # 2-pass _relaxed_norm output bound
 
+# ---------------------------------------------------------------------------
+# MXU MDS path (docs/DESIGN.md §24).
+#
+# The MDS limb-convolution multiplies the state by CONSTANT field elements, so
+# it is one fixed linear map over the state's limbs.  Expressed at 6-bit
+# sub-limb granularity it rides the MXU exactly in bf16:
+#   * each (quasi-)canonical 12/13-bit limb splits into two planes
+#     (v & 63, v >> 6), values <= 66 — bf16-exact (integers <= 256);
+#   * each constant MDS limb splits into two 6-bit pieces folded into the
+#     weight matrix W[(j, in_pos), (i, out_pos)] = piece of mds[i][j] at
+#     (out_pos - in_pos), entries <= 63 — bf16-exact;
+#   * f32 accumulation over K = t*2L planes is exact: sums <= K*66*63
+#     (< 2^21 even at t = 9) << 2^24, the f32 integer-exact bound;
+#   * the f32 output positions rebin to the 12-bit REDC column domain as
+#     cols[k] = pos[2k] + (pos[2k+1] << 6) <= 2^24+, and with the (L-1)
+#     interleaved REDC addends (< 2^24 each) stay int32-safe — so the MXU
+#     output feeds the existing _redc_multi unchanged, at ANY t, with no
+#     accumulation grouping.
+# ---------------------------------------------------------------------------
+
+
+def _mds_mxu_weights(L, t, mds_ints) -> np.ndarray:
+    """(t*2L, t*(4L-1)) float32 weight matrix of the MDS limb-convolution at
+    6-bit granularity (cast to bf16 at the pallas_call boundary)."""
+    P = 2 * L
+    npos = 4 * L - 1
+    w = np.zeros((t * P, t * npos), dtype=np.float32)
+    for i in range(t):
+        for j in range(t):
+            pieces = []
+            for l in range(L):
+                pieces.append(mds_ints[i][j][l] & 63)
+                pieces.append(mds_ints[i][j][l] >> 6)
+            for m in range(P):
+                for q, piece in enumerate(pieces):
+                    if piece:
+                        w[j * P + m, i * npos + m + q] += piece
+    return w
+
+
+def _mds_mxu_cols(L, t, elems, w_ref):
+    """REDC column lists of every MDS output row, with the limb-convolution
+    computed on the MXU (see the block comment above).  ``elems[j][l]`` are
+    2-D (sublane, lane) tiles; they stack along a NEW leading axis (a vreg-
+    list concat, not a cross-lane relayout) and the dot_general contracts
+    that axis with both tile dims free — Mosaic lowers the multi-free-dim
+    form natively, so no reshape/relayout touches the data.  Returns t lists
+    of 2L int32 column tiles, ready for ``_redc_multi`` (callers slice
+    streams as needed)."""
+    npos = 4 * L - 1
+    planes = []
+    for j in range(t):
+        for l in range(L):
+            v = elems[j][l]
+            planes.append(v & 63)
+            planes.append(v >> 6)
+    x = jnp.stack(planes).astype(jnp.bfloat16)  # (t*2L, sub, lane)
+    pos = jax.lax.dot_general(
+        w_ref[:], x, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(jnp.int32)  # (t*npos, sub, lane), integer-exact
+    cols_list = []
+    for i in range(t):
+        base = i * npos
+        cols = []
+        for k in range(2 * L):
+            v = pos[base + 2 * k]
+            if 2 * k + 1 < npos:
+                v = v + (pos[base + 2 * k + 1] << 6)
+            cols.append(v)
+        cols_list.append(cols)
+    return cols_list
+
+
+def _mds_apply_mxu(L, t, elems, w_ref, p_limbs, n0inv, final_norm=None):
+    """new[i] = sum_j mds[i][j] * elems[j]: MXU limb-convolution + the t
+    output REDC chains interleaved on the VPU."""
+    return _redc_multi(
+        L, _mds_mxu_cols(L, t, elems, w_ref), p_limbs, n0inv, final_norm
+    )
+
 
 def _mds_groups(L, t, max_group=None, quasi=False):
     """Partition of the MDS dot indices 0..t-1 into lazy-accumulation groups.
@@ -510,7 +591,7 @@ def _sparse_apply_multi(
 
 def _permute_kernel_streams(
     ark_ref, popt_ref, state_ref, out_ref, *, cfg, optimized, lane_streams,
-    mds_group=None, relaxed=False, wide_interleave=False,
+    mds_group=None, relaxed=False, wide_interleave=False, mdsw_ref=None,
 ):
     """Lane-stream-interleaved kernel: the batch tile is split into
     ``lane_streams`` independent sub-tiles along the sublane axis, advanced in
@@ -614,6 +695,30 @@ def _permute_kernel_streams(
             for e in range(t):
                 sts[s][e] = outs[s * t + e]
 
+    def mds_streams_mxu(sts):
+        """MDS via the MXU limb-convolution (docs/DESIGN.md §24): one matmul
+        over the full tile, then all t*ns output REDC chains interleaved."""
+        full = [
+            [
+                jnp.concatenate([sts[s][e][l] for s in range(ns)], axis=0)
+                for l in range(L)
+            ]
+            for e in range(t)
+        ]
+        cols_list = _mds_mxu_cols(L, t, full, mdsw_ref)
+        red = _redc_multi(
+            L,
+            [
+                [c[s * h : (s + 1) * h] for c in cols_list[i]]
+                for s in range(ns)
+                for i in range(t)
+            ],
+            p_limbs,
+            n0inv,
+            tail_norm_multi,
+        )
+        return [[red[s * t + i] for i in range(t)] for s in range(ns)]
+
     def mds_streams(sts, row_ints_table):
         news = [[None] * t for _ in range(ns)]
         if wide_interleave:
@@ -684,6 +789,8 @@ def _permute_kernel_streams(
                     sbox_streams(sts, e)
         else:
             sbox_streams(sts, 0)
+        if mdsw_ref is not None:
+            return pack_streams(mds_streams_mxu(sts))
         return pack_streams(mds_streams(sts, mds_ints))
 
     half = cfg.full_rounds // 2
@@ -794,13 +901,14 @@ def _permute_kernel_streams(
 def _permute_kernel(
     ark_ref, popt_ref, state_ref, out_ref, *, cfg, optimized, pipelined=False,
     lane_streams=1, mds_group=None, relaxed=False, wide_interleave=False,
+    mdsw_ref=None,
 ):
     if lane_streams > 1:
         return _permute_kernel_streams(
             ark_ref, popt_ref, state_ref, out_ref,
             cfg=cfg, optimized=optimized, lane_streams=lane_streams,
             mds_group=mds_group, relaxed=relaxed,
-            wide_interleave=wide_interleave,
+            wide_interleave=wide_interleave, mdsw_ref=mdsw_ref,
         )
     fs = cfg.field
     L = fs.nlimbs
@@ -856,6 +964,12 @@ def _permute_kernel(
                 ]
         else:
             elems[0] = _pow_alpha(L, elems[0], cfg.alpha, p_limbs, n0inv, tail_norm)
+        if mdsw_ref is not None:
+            return pack(
+                _mds_apply_mxu(
+                    L, t, elems, mdsw_ref, p_limbs, n0inv, tail_norm_multi
+                )
+            )
         mds = _mds_apply_multi if pipelined else _mds_apply
         return pack(
             mds(
@@ -939,6 +1053,12 @@ def _permute_kernel(
     out_ref[:] = st4
 
 
+def _permute_kernel_with_w(ark_ref, popt_ref, mdsw_ref, state_ref, out_ref, **kw):
+    """Kernel entry for the mds_mxu variant: same body, one extra VMEM input
+    (the bf16 MDS weight matrix) between the SMEM constants and the state."""
+    _permute_kernel(ark_ref, popt_ref, state_ref, out_ref, mdsw_ref=mdsw_ref, **kw)
+
+
 @functools.lru_cache(maxsize=None)
 def cios_permute_fn(
     cfg: PoseidonConfig,
@@ -950,6 +1070,7 @@ def cios_permute_fn(
     mds_group: int | None = None,
     relaxed: bool = True,
     wide_interleave: bool = False,
+    mds_mxu: bool = False,
 ):
     """Jitted CIOS permutation: (t, L, B) -> (t, L, B), B % (sublanes*128) == 0.
 
@@ -970,7 +1091,17 @@ def cios_permute_fn(
     budget (t*L + L - 1 >= 128, i.e. t >= 5 at L = 22) split into accumulation
     groups with one shared REDC each (``_mds_groups``).  ``mds_group`` forces a
     smaller group size (tests only).
+
+    ``mds_mxu=True`` computes every MDS limb-convolution on the MXU as a
+    bf16 matmul against a constant weight matrix (exactness analysis in the
+    module-level block comment; design in docs/DESIGN.md §24).  Forces
+    ``optimized=False``: the dense matrix is applied every round — the
+    sparse partial-round decomposition exists to cut VPU multiplies, which
+    the MXU makes moot (and its per-round matrices are runtime-indexed,
+    unlike the single constant dense weight).
     """
+    if mds_mxu:
+        optimized = False
     if lane_streams is None:
         lane_streams = 2 if sublanes % 16 == 0 else 1
     if lane_streams > 1 and sublanes % (8 * lane_streams) != 0:
@@ -1016,10 +1147,34 @@ def cios_permute_fn(
         raise ValueError(
             "wide_interleave requires lane_streams >= 2 (the streams kernel)"
         )
-    kernel = functools.partial(
-        _permute_kernel, cfg=cfg, optimized=optimized, pipelined=pipelined,
+    kernel_kwargs = dict(
+        cfg=cfg, optimized=optimized, pipelined=pipelined,
         lane_streams=lane_streams, mds_group=mds_group, relaxed=relaxed,
         wide_interleave=wide_interleave,
+    )
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+    ]
+    extra_inputs = []
+    if mds_mxu:
+        mds_ints = tuple(
+            tuple(tuple(int(v) for v in fs.int_to_mont_limbs(c)) for c in row)
+            for row in cfg.mds
+        )
+        mds_w = jnp.asarray(
+            _mds_mxu_weights(L, t, mds_ints), dtype=jnp.bfloat16
+        )
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+        extra_inputs.append(mds_w)
+        kernel = functools.partial(_permute_kernel_with_w, **kernel_kwargs)
+    else:
+        kernel = functools.partial(_permute_kernel, **kernel_kwargs)
+    in_specs.append(
+        pl.BlockSpec(
+            (t, L, sublanes, 128), lambda i: (0, 0, i, 0),
+            memory_space=pltpu.VMEM,
+        )
     )
 
     @jax.jit
@@ -1033,15 +1188,7 @@ def cios_permute_fn(
             kernel,
             out_shape=jax.ShapeDtypeStruct(st4.shape, jnp.int32),
             grid=grid,
-            in_specs=[
-                pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec(
-                    (t, L, sublanes, 128),
-                    lambda i: (0, 0, i, 0),
-                    memory_space=pltpu.VMEM,
-                ),
-            ],
+            in_specs=in_specs,
             out_specs=pl.BlockSpec(
                 (t, L, sublanes, 128), lambda i: (0, 0, i, 0), memory_space=pltpu.VMEM
             ),
@@ -1051,7 +1198,7 @@ def cios_permute_fn(
                 transcendentals=0,
             ),
             interpret=interpret,
-        )(jnp.asarray(ark_np), jnp.asarray(popt_np), st4)
+        )(jnp.asarray(ark_np), jnp.asarray(popt_np), *extra_inputs, st4)
         return out.reshape(t, L, B)
 
     return run

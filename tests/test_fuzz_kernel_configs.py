@@ -50,6 +50,13 @@ def _draw_configs(seed: int, n: int):
         variant = ["serial", "pipelined", "streams"][int(rng.integers(3))]
         mds_group = [None, 2][int(rng.integers(2))]
         relaxed = bool(rng.integers(2))
+        # Drawn from a per-draw side stream so adding this axis (round 4)
+        # does not shift the pinned main-stream draws the coverage meta-test
+        # depends on.  The MXU path composes with everything: optimized keeps
+        # its sparse partial phase and VPU-dense final D, mds_group still
+        # shapes those VPU sites, and the mxu MDS emission is _redc_multi
+        # (already interleaved) under every variant.
+        mds_mxu = bool(np.random.default_rng(seed * 1000 + i).integers(2))
         draws.append(
             dict(
                 field=field,
@@ -61,6 +68,7 @@ def _draw_configs(seed: int, n: int):
                 variant=variant,
                 mds_group=mds_group,
                 relaxed=relaxed,
+                mds_mxu=mds_mxu,
                 cfg_seed=seed + i,
             )
         )
@@ -82,6 +90,7 @@ def _cell_id(d):
         f"{d['field']}-t{d['t']}-a{d['alpha']}-rf{d['full_rounds']}"
         f"-rp{d['partial_rounds']}-{'opt' if d['optimized'] else 'dense'}"
         f"-{d['variant']}-g{d['mds_group']}-{'relaxed' if d['relaxed'] else 'exact'}"
+        f"{'-mxu' if d['mds_mxu'] else ''}"
     )
 
 
@@ -103,6 +112,7 @@ def test_fuzz_coverage_includes_regression_cells():
     assert {d["relaxed"] for d in _DRAWS} == {False, True}
     assert {d["mds_group"] for d in _DRAWS} == {None, 2}
     assert {d["alpha"] for d in _DRAWS} == {3, 5, 17}
+    assert {d["mds_mxu"] for d in _DRAWS} == {False, True}
 
 
 @pytest.mark.parametrize("draw", _DRAWS, ids=_cell_id)
@@ -125,4 +135,5 @@ def test_fuzz_cios_kernel_config(draw):
         lane_streams=2 if draw["variant"] == "streams" else 1,
         mds_group=draw["mds_group"],
         relaxed=draw["relaxed"],
+        mds_mxu=draw["mds_mxu"],
     )

@@ -151,7 +151,7 @@ class _FakeRef:
 
 def _run_cios_kernel_body(
     cfg, optimized, B=256, stride=85, pipelined=False, lane_streams=1,
-    mds_group=None, relaxed=False, wide_interleave=False,
+    mds_group=None, relaxed=False, wide_interleave=False, mds_mxu=False,
 ):
     """Run _permute_kernel itself (mock refs, CPU) against the oracle."""
     from sponge_tpu.ops import pallas_cios as pc
@@ -183,6 +183,17 @@ def _run_cios_kernel_body(
     else:
         popt_np = np.zeros((1, 1), dtype=np.int32)
 
+    if mds_mxu:
+        mds_ints = tuple(
+            tuple(tuple(int(v) for v in fs.int_to_mont_limbs(c)) for c in row)
+            for row in cfg.mds
+        )
+        mdsw = jnp.asarray(
+            pc._mds_mxu_weights(L, t, mds_ints), dtype=jnp.bfloat16
+        )
+    else:
+        mdsw = None
+
     @jax.jit
     def run(ark, popt, st):
         out_ref = _FakeRef(jnp.zeros_like(st))
@@ -191,6 +202,7 @@ def _run_cios_kernel_body(
             cfg=cfg, optimized=optimized, pipelined=pipelined,
             lane_streams=lane_streams, mds_group=mds_group, relaxed=relaxed,
             wide_interleave=wide_interleave,
+            mdsw_ref=None if mdsw is None else _FakeRef(mdsw),
         )
         return out_ref.arr
 
@@ -293,6 +305,62 @@ def test_cios_kernel_body_relaxed_grouped_mds(optimized, variant):
         pipelined=(variant == "pipelined"),
         lane_streams=2 if variant == "streams" else 1,
     )
+
+
+@pytest.mark.parametrize("relaxed", [False, True], ids=["exact", "relaxed"])
+@pytest.mark.parametrize(
+    "variant", ["serial", "streams"], ids=["serial", "streams"]
+)
+def test_cios_kernel_body_mds_mxu(variant, relaxed):
+    """The MXU MDS path (6-bit-plane bf16 limb-convolution matmul + rebin,
+    docs/DESIGN.md §24) matches the oracle bit-for-bit in both kernel
+    emission variants, exact and relaxed norms."""
+    from conftest import tiny_poseidon_config
+
+    cfg = tiny_poseidon_config(full_rounds=8, partial_rounds=8, alpha=17, seed=11)
+    _run_cios_kernel_body(
+        cfg, False, stride=31, relaxed=relaxed, mds_mxu=True,
+        lane_streams=2 if variant == "streams" else 1,
+    )
+
+
+@pytest.mark.parametrize("optimized", [False, True], ids=["dense", "sparse-opt"])
+def test_cios_kernel_body_mds_mxu_wide(optimized):
+    """MXU MDS at a wide state (t=5): the single matmul replaces the grouped
+    lazy accumulation entirely (no int32 grouping needed — the f32 bound
+    holds at any t), composed with the sparse-opt partial phase whose final
+    dense matrix D stays on the VPU path."""
+    from conftest import tiny_poseidon_config
+
+    cfg = tiny_poseidon_config(t=5, full_rounds=4, partial_rounds=5, alpha=5, seed=13)
+    _run_cios_kernel_body(
+        cfg, optimized, stride=37, relaxed=True, mds_mxu=True, lane_streams=2
+    )
+
+
+def test_cios_pallas_mds_mxu_interpret():
+    """cios_permute_fn(mds_mxu=True) through the Pallas interpreter: the
+    weight-matrix input plumbing (extra VMEM operand) and the in-kernel
+    dot_general, vs the oracle."""
+    from conftest import tiny_poseidon_config
+
+    from sponge_tpu.ops.pallas_cios import TILE_LANES, cios_permute_fn
+    from sponge_tpu.poseidon import OraclePoseidonSponge
+
+    cfg = tiny_poseidon_config(full_rounds=4, partial_rounds=4, alpha=5, seed=3)
+    fs = cfg.field
+    B = TILE_LANES
+    vals = [rand_ints(fs, B) for _ in range(cfg.t)]
+    state = jnp.asarray(
+        np.stack([fs.ints_to_mont_plane(row) for row in vals], axis=0)
+    )
+    out = np.asarray(cios_permute_fn(cfg, interpret=True, mds_mxu=True)(state))
+    for b in range(0, B, 293):
+        o = OraclePoseidonSponge(cfg)
+        o.state = [vals[i][b] for i in range(cfg.t)]
+        o.permute()
+        got = [fs.mont_limbs_to_int(out[i][:, b]) for i in range(cfg.t)]
+        assert got == o.state, b
 
 
 def test_relaxed_norm_exactness():
