@@ -26,6 +26,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from _harness import time_perms
+
 
 def main():
     from sponge_tpu.utils.jaxcache import configure_cache
@@ -72,12 +74,7 @@ def main():
             raw = [BB.limbs_to_int(on[i][:, b]) for i in range(t)]
             if any(v >= 2 * BB.modulus for v in raw):
                 raise RuntimeError(f"{label} output invariant (< 2p) violated")
-        cur = out
-        t0 = time.perf_counter()
-        for _ in range(20):
-            cur = fn(cur)
-        _ = np.asarray(cur[0, 0, :8])
-        pps = 20 * B / (time.perf_counter() - t0)
+        pps = time_perms(fn, out, B, iters=20)
         print(
             json.dumps(
                 {

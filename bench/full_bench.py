@@ -22,6 +22,9 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
+from _harness import timed_best
+
 
 def sync(x):
     return np.asarray(x.reshape(-1)[:4])
@@ -73,13 +76,18 @@ def bench_batched_permutation(log_batch=20, reps=6):
 
     cfg = get_default_poseidon_parameters(BLS12_381_FR, 2, False)
     B = 1 << log_batch
-    out = batched_permute(cfg, zero_state(cfg, B))
-    sync(out)
-    t0 = time.time()
-    for _ in range(reps):
-        out = batched_permute(cfg, out)
-    sync(out)
-    rate = B / ((time.time() - t0) / reps)
+    state0 = batched_permute(cfg, zero_state(cfg, B))
+
+    def _window():
+        out = state0
+        sync(out)
+        t0 = time.time()
+        for _ in range(reps):
+            out = batched_permute(cfg, out)
+        sync(out)
+        return reps * B / (time.time() - t0)
+
+    rate = timed_best(_window)
     return {"name": f"batched permutation (BLS12-381 Fr rate-2, B=2^{log_batch})",
             "value": round(rate), "unit": "perms/s"}
 
@@ -114,12 +122,18 @@ def bench_poseidon2(log_batch=20, reps=6):
             got = [fs.mont_limbs_to_int(out_np[i][:, b]) for i in range(cfg.t)]
             if got != o.state:
                 raise RuntimeError(f"Poseidon2 kernel parity failure at lane {b}")
-    sync(out)
-    t0 = time.time()
-    for _ in range(reps):
-        out = batched_permute2(cfg, out)
-    sync(out)
-    pps = reps * B / (time.time() - t0)
+    first = out
+
+    def _window():
+        cur = first
+        sync(cur)
+        t0 = time.time()
+        for _ in range(reps):
+            cur = batched_permute2(cfg, cur)
+        sync(cur)
+        return reps * B / (time.time() - t0)
+
+    pps = timed_best(_window)
     return {"name": "Poseidon2 rate-2 permutation (BLS12-381 Fr, B=2^%d, oracle-gated)" % log_batch,
             "value": int(pps), "unit": "perms/s"}
 
@@ -155,12 +169,18 @@ def bench_goldilocks(log_batch=20, reps=6):
             got = [GL.mont_limbs_to_int(out_np[i][:, b]) for i in range(cfg.t)]
             if got != o.state:
                 raise RuntimeError(f"Goldilocks kernel parity failure at lane {b}")
-    sync(out)
-    t0 = time.time()
-    for _ in range(reps):
-        out = batched_permute(cfg, out)
-    sync(out)
-    pps = reps * B / (time.time() - t0)
+    first = out
+
+    def _window():
+        cur = first
+        sync(cur)
+        t0 = time.time()
+        for _ in range(reps):
+            cur = batched_permute(cfg, cur)
+        sync(cur)
+        return reps * B / (time.time() - t0)
+
+    pps = timed_best(_window)
     return {"name": "Goldilocks rate-8 permutation (t=12, B=2^%d, oracle-gated)" % log_batch,
             "value": int(pps), "unit": "perms/s"}
 
@@ -196,12 +216,18 @@ def bench_babybear_p2(log_batch=20, reps=6):
             got = [BB.mont_limbs_to_int(out_np[i][:, b]) for i in range(cfg.t)]
             if got != o.state:
                 raise RuntimeError(f"BabyBear Poseidon2 parity failure at lane {b}")
-    sync(out)
-    t0 = time.time()
-    for _ in range(reps):
-        out = batched_permute2(cfg, out)
-    sync(out)
-    pps = reps * B / (time.time() - t0)
+    first = out
+
+    def _window():
+        cur = first
+        sync(cur)
+        t0 = time.time()
+        for _ in range(reps):
+            cur = batched_permute2(cfg, cur)
+        sync(cur)
+        return reps * B / (time.time() - t0)
+
+    pps = timed_best(_window)
     return {"name": "BabyBear Poseidon2 rate-8 permutation (t=16, B=2^%d, oracle-gated)" % log_batch,
             "value": int(pps), "unit": "perms/s"}
 
@@ -213,13 +239,18 @@ def bench_bn254(log_batch=17, reps=4):
 
     cfg = get_default_poseidon_parameters(BN254_FR, 3, False)
     B = 1 << log_batch
-    out = batched_permute(cfg, zero_state(cfg, B))
-    sync(out)
-    t0 = time.time()
-    for _ in range(reps):
-        out = batched_permute(cfg, out)
-    sync(out)
-    rate = B / ((time.time() - t0) / reps)
+    state0 = batched_permute(cfg, zero_state(cfg, B))
+
+    def _window():
+        out = state0
+        sync(out)
+        t0 = time.time()
+        for _ in range(reps):
+            out = batched_permute(cfg, out)
+        sync(out)
+        return reps * B / (time.time() - t0)
+
+    rate = timed_best(_window)
     return {"name": f"BN254 Fr rate-3 alpha=5 permutation (B=2^{log_batch})",
             "value": round(rate), "unit": "perms/s"}
 
@@ -234,12 +265,16 @@ def bench_merkle(log_leaves=24):
     leaves = jnp.zeros((BLS12_381_FR.nlimbs, N), dtype=jnp.int32)
     root = merkle_root(cfg, leaves)  # warm-up / compile
     np.asarray(root[:2])
-    t0 = time.time()
-    root = merkle_root(cfg, leaves)
-    np.asarray(root[:2])
-    dt = time.time() - t0
+
+    def _window():
+        t0 = time.time()
+        r = merkle_root(cfg, leaves)
+        np.asarray(r[:2])
+        return N / (time.time() - t0)
+
+    rate = timed_best(_window)
     return {"name": f"Merkle tree, 2^{log_leaves} leaves (2-to-1, one perm/node)",
-            "value": round(N / dt), "unit": "leaves/s"}
+            "value": round(rate), "unit": "leaves/s"}
 
 
 def bench_transcript(batch=1 << 14, reps=3):
@@ -263,12 +298,16 @@ def bench_transcript(batch=1 << 14, reps=3):
         out = s.squeeze_native_plane(1)
         return out
 
-    sync(one_pass())  # warm-up
-    t0 = time.time()
-    for _ in range(reps):
-        out = one_pass()
-    sync(out)
-    rate = batch * reps / (time.time() - t0)
+    sync(one_pass())  # warm-up / compile
+
+    def _window():
+        t0 = time.time()
+        for _ in range(reps):
+            out = one_pass()
+        sync(out)
+        return batch * reps / (time.time() - t0)
+
+    rate = timed_best(_window)
     return {"name": f"Fiat-Shamir transcript (5 steps, B={batch} lanes, lazy default)",
             "value": round(rate), "unit": "transcripts/s"}
 
@@ -292,12 +331,16 @@ def bench_lazy_transcript(batch=1 << 14, reps=3):
         s.absorb(U64(2))
         return s.squeeze_native_plane(1)
 
-    sync(one_pass())  # warm-up
-    t0 = time.time()
-    for _ in range(reps):
-        out = one_pass()
-    sync(out)
-    rate = batch * reps / (time.time() - t0)
+    sync(one_pass())  # warm-up / compile
+
+    def _window():
+        t0 = time.time()
+        for _ in range(reps):
+            out = one_pass()
+        sync(out)
+        return batch * reps / (time.time() - t0)
+
+    rate = timed_best(_window)
     return {"name": f"eager step-by-step transcript (same 5 steps, lazy=False)",
             "value": round(rate), "unit": "transcripts/s"}
 
@@ -313,11 +356,15 @@ def bench_compiled_transcript(batch=1 << 17, reps=5):
     elems = jnp.zeros((4, BLS12_381_FR.nlimbs, batch), dtype=jnp.int32)
     out = fn(elems)
     sync(out)
-    t0 = time.time()
-    for _ in range(reps):
-        out = fn(elems)
-    sync(out)
-    rate = batch * reps / (time.time() - t0)
+
+    def _window():
+        t0 = time.time()
+        for _ in range(reps):
+            o = fn(elems)
+        sync(o)
+        return batch * reps / (time.time() - t0)
+
+    rate = timed_best(_window)
     return {"name": f"compiled Fiat-Shamir transcript (4 steps fused, B=2^17)",
             "value": round(rate), "unit": "transcripts/s"}
 

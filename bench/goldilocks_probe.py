@@ -21,6 +21,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from _harness import time_perms
+
 
 def main():
     from sponge_tpu.utils.jaxcache import configure_cache
@@ -68,14 +70,7 @@ def main():
             raw = [GL.limbs_to_int(out_np[i][:, b]) for i in range(t)]
             if any(v >= 2 * GL.modulus for v in raw):
                 raise RuntimeError(f"{label} output invariant (< 2p) violated")
-        iters = 20
-        cur = out
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            cur = fn(cur)
-        _ = np.asarray(cur[0, 0, :8])
-        dt = time.perf_counter() - t0
-        pps = iters * B / dt
+        pps = time_perms(fn, out, B, iters=20)
         print(
             json.dumps(
                 {

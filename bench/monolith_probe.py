@@ -23,6 +23,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from _harness import time_perms
+
 
 def main():
     from sponge_tpu.utils.jaxcache import configure_cache
@@ -65,12 +67,7 @@ def main():
             raw = [fs.limbs_to_int(on[i][:, b]) for i in range(t)]
             if any(v >= 2 * fs.modulus for v in raw):
                 raise RuntimeError(f"{fs.name} output invariant (< 2p) violated")
-        cur = out
-        t0 = time.perf_counter()
-        for _ in range(20):
-            cur = fn(cur)
-        _ = np.asarray(cur[0, 0, :8])
-        pps = 20 * B / (time.perf_counter() - t0)
+        pps = time_perms(fn, out, B, iters=20)
         rate_bytes = cfg.rate * fs.num_canonical_bytes
         print(
             json.dumps(

@@ -23,6 +23,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from _harness import time_perms
+
 
 def main():
     rate = int(sys.argv[1]) if len(sys.argv) > 1 else 2
@@ -62,15 +64,8 @@ def main():
             raise RuntimeError(f"output invariant (< 2p) violated at lane {b}")
     print(json.dumps({"parity": "ok", "rate": rate, "lanes_checked": lanes // 61 + 1}))
 
-    # Timing: chain kernel executions, force completion by fetching a slice.
-    iters = 30
-    cur = out
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        cur = fn(cur)
-    _ = np.asarray(cur[0, 0, :8])
-    dt = time.perf_counter() - t0
-    pps = iters * B / dt
+    # Timing: warm window + best-of-3 chained windows (bench/_harness.py).
+    pps = time_perms(fn, out, B, iters=30)
     print(
         json.dumps(
             {
