@@ -85,7 +85,7 @@ def main():
         parity_gate(cfg, out, vals, lanes, label)
         pps = time_perms(fn, out, B, iters=10)
         # Census at one tile: every kernel here is grid-uniform over lanes.
-        tile = 2048
+        from sponge_tpu.ops.pallas_cios import TILE_LANES as tile
         census = kernel_op_census(
             make(cfg), jax.ShapeDtypeStruct((cfg.t, fs.nlimbs, tile), jnp.int32)
         )

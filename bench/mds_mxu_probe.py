@@ -51,10 +51,11 @@ def main():
         ("mds_mxu", {"mds_mxu": True}),
     ]
     for label, kw in cases:
-        fn = jax.jit(cios_permute_fn(cfg, **kw))
+        fn = cios_permute_fn(cfg, **kw)
         out = fn(state)
         parity_gate(cfg, out, vals, lanes, label)
-        pps = max(time_perms(fn, out, B) for _ in range(3))
+        # time_perms already runs one untimed warm window + best-of-3.
+        pps = time_perms(fn, out, B)
         census = kernel_op_census(
             cios_permute_fn(cfg, **kw),
             jax.ShapeDtypeStruct((cfg.t, cfg.field.nlimbs, TILE_LANES), jnp.int32),

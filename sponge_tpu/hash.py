@@ -155,16 +155,18 @@ def _pad_target(n: int, chunk: int) -> int:
     return ladder[0]
 
 
-def _pad_width(n: int, chunk: int) -> int:
+def _pad_width(n: int, chunk: int, backend: str = "auto") -> int:
     """Padded lane count for an ``n``-lane narrow tree level (n < chunk).
 
-    TPU: already-tile-aligned widths run as-is (they are valid fused-kernel
-    batches; padding them would double real work for nothing), everything
-    else pads up to the nearest ratio-4 ladder shape with a TILE_LANES floor.
-    CPU (the test/dryrun mesh): every narrow level pads to ``chunk`` so the
-    whole tree reuses ONE compiled program per level shape — on the 8-virtual-
-    device CPU mesh compile time, not execution, is the cost that matters."""
-    if jax.default_backend() == "tpu":
+    TPU fused-kernel backends: already-tile-aligned widths run as-is (they
+    are valid fused-kernel batches; padding them would double real work for
+    nothing), everything else pads up to the nearest ratio-4 ladder shape
+    with a TILE_LANES floor.  Explicit ``backend="xla"`` (the narrow-tail
+    reductions) and CPU (the test/dryrun mesh): every narrow level pads to
+    ``chunk`` so the whole reduction reuses ONE compiled program per level
+    shape — there is no kernel tile floor to respect, and compile count, not
+    execution, is the cost that matters."""
+    if backend != "xla" and jax.default_backend() == "tpu":
         if n % _tile_lanes() == 0:
             return n
         return _pad_target(n, chunk)
@@ -184,7 +186,7 @@ def _level_compress(cfg, l, r, backend, chunk):
         ]
         return jnp.concatenate(outs, axis=-1)
     if n < chunk:
-        pad = _pad_width(n, chunk) - n
+        pad = _pad_width(n, chunk, backend) - n
         if pad:
             lp = jnp.pad(l, [(0, 0), (0, pad)])
             rp = jnp.pad(r, [(0, 0), (0, pad)])
@@ -384,7 +386,7 @@ def _level_compress_wide(cfg, level, backend, chunk, compress=None):
             axis=-1,
         )
     if n < chunk:
-        pad = _pad_width(n, chunk) - n
+        pad = _pad_width(n, chunk, backend) - n
         if pad:
             lp = jnp.pad(l, [(0, 0), (0, 0), (0, pad)])
             rp = jnp.pad(r, [(0, 0), (0, 0), (0, pad)])

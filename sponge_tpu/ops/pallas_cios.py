@@ -1102,6 +1102,12 @@ def cios_permute_fn(
     """
     if mds_mxu:
         optimized = False
+        if wide_interleave or pipelined:
+            # The streams kernel's MXU branch replaces the whole MDS emission,
+            # so these schedule variants would be silently ignored — reject the
+            # combination rather than mislabel an A/B measurement (same rule as
+            # the wide_interleave-without-streams guard below).
+            raise ValueError("mds_mxu is incompatible with wide_interleave/pipelined")
     if lane_streams is None:
         lane_streams = 2 if sublanes % 16 == 0 else 1
     if lane_streams > 1 and sublanes % (8 * lane_streams) != 0:

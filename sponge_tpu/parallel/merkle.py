@@ -27,7 +27,7 @@ from ..poseidon.config import PoseidonConfig
 from .mesh import DATA_AXIS, leaf_sharding
 
 
-def _bucketed_wide_phase(level, layer, D, chunk_local):
+def _bucketed_wide_phase(level, layer, D, chunk_local, backend="auto"):
     """Run the wide (sharded) tree phase through a constant set of compiled
     ``shard_map`` programs.
 
@@ -42,7 +42,11 @@ def _bucketed_wide_phase(level, layer, D, chunk_local):
     while level.shape[-1] >= 2 * D and level.shape[-1] > 1:
         n = level.shape[-1]
         n_local = n // D
-        tgt_local = _pad_width(n_local, chunk_local) if n_local < chunk_local else n_local
+        tgt_local = (
+            _pad_width(n_local, chunk_local, backend)
+            if n_local < chunk_local
+            else n_local
+        )
         pad = tgt_local * D - n
         if pad:
             widths = [(0, 0)] * (level.ndim - 1) + [(0, pad)]
@@ -90,7 +94,7 @@ def sharded_merkle_root(
     # Wide phase: every level halves; stop once pairs would straddle shards.
     # Levels are padded to shared bucket shapes so the phase compiles a
     # constant number of programs regardless of depth (_bucketed_wide_phase).
-    level = _bucketed_wide_phase(level, layer, D, 1 << 17)
+    level = _bucketed_wide_phase(level, layer, D, 1 << 17, backend)
 
     # Narrow tail: one gather, then finish replicated (O(D) nodes left).
     if level.shape[-1] > 1:
@@ -181,7 +185,7 @@ def sharded_merkle_root_wide(
     level = jax.device_put(
         leaves, NamedSharding(mesh, P(None, None, DATA_AXIS))
     )
-    level = _bucketed_wide_phase(level, layer, D, 1 << 17)
+    level = _bucketed_wide_phase(level, layer, D, 1 << 17, backend)
 
     if level.shape[-1] > 1:
         level = jax.device_put(level, NamedSharding(mesh, P()))

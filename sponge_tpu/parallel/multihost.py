@@ -127,15 +127,30 @@ def scaling_report(
                 f"(global {start + k}); refusing to report a throughput number"
             )
 
-    t0 = time.time()
+    def _force(x):
+        return np.asarray(x.addressable_shards[0].data[0, 0, :4])
+
+    # One untimed warm window, then best-of-3 timed windows — the same
+    # protocol as bench/_harness.time_perms: the host-side oracle/parity work
+    # above leaves the device idle for ~seconds, and a single cold window has
+    # been measured up to ~10x low (clock-down).  All processes execute the
+    # same constant call counts, so the loop stays collective-consistent
+    # under jax.distributed.
     for _ in range(reps):
         out = fn(out)
-    _ = np.asarray(out.addressable_shards[0].data[0, 0, :4])
-    dt = (time.time() - t0) / reps
+    _force(out)
+    best_dt = None
+    for _w in range(3):
+        t0 = time.time()
+        for _ in range(reps):
+            out = fn(out)
+        _force(out)
+        dt = (time.time() - t0) / reps
+        best_dt = dt if best_dt is None else min(best_dt, dt)
     return {
         "devices": D,
-        "perms_per_sec": B / dt,
-        "perms_per_sec_per_device": B / dt / D,
+        "perms_per_sec": B / best_dt,
+        "perms_per_sec_per_device": B / best_dt / D,
     }
 
 

@@ -263,17 +263,21 @@ def register_default_table(
     Re-registering a field name overwrites its tables (idempotent setup);
     registering one of the built-in fields is allowed and overrides it.
     """
-    rows = tuple(tuple(int(v) for v in row) for row in table)
-    for row in rows:
-        if len(row) != 5:
-            raise ValueError(
-                "table rows must be (rate, alpha, full_rounds, partial_rounds,"
-                f" skip_matrices); got {row}"
-            )
+    def _validated(t):
+        rows = tuple(tuple(int(v) for v in row) for row in t)
+        for row in rows:
+            if len(row) != 5:
+                raise ValueError(
+                    "table rows must be (rate, alpha, full_rounds, partial_rounds,"
+                    f" skip_matrices); got {row}"
+                )
+        return rows
+
+    rows = _validated(table)
     weights = (
         rows
         if optimized_for_weights_table is None
-        else tuple(tuple(int(v) for v in row) for row in optimized_for_weights_table)
+        else _validated(optimized_for_weights_table)
     )
     if capacity < 1:
         raise ValueError("capacity must be >= 1")

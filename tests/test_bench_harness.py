@@ -8,12 +8,13 @@ tests pin the protocol itself: call counts, warm-window exclusion, best-of
 selection, and the parity gate's refusal behavior.
 """
 
+import pathlib
 import sys
 
 import numpy as np
 import pytest
 
-sys.path.insert(0, "bench")
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent / "bench"))
 
 from _harness import oracle_states, parity_gate, random_state, time_perms, timed_best
 

@@ -129,6 +129,11 @@ def test_register_default_table():
     with pytest.raises(ValueError):
         get_default_poseidon_parameters(TINY_FR_45, 7)
 
-    # malformed rows are rejected
+    # malformed rows are rejected — in EITHER table, at registration time
+    # (not as an opaque unpack error at a later lookup)
     with pytest.raises(ValueError):
         register_default_table(TINY_FR_45, [(2, 5, 4)])
+    with pytest.raises(ValueError):
+        register_default_table(
+            TINY_FR_45, [(2, 5, 4, 3, 0)], optimized_for_weights_table=[(2, 5, 4)]
+        )

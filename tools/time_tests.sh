@@ -1,0 +1,23 @@
+#!/bin/bash
+# Time every test module individually (3 parallel workers), recording wall
+# seconds and per-test durations.  Used to decide `slow` marks empirically.
+set -u
+OUT=${1:-/tmp/test_timings}
+mkdir -p "$OUT"
+cd /root/repo
+
+run_one() {
+  f=$1
+  name=$(basename "$f" .py)
+  start=$(date +%s)
+  timeout 1500 python -m pytest "$f" -q --durations=0 -p no:cacheprovider \
+    > "$OUT/$name.log" 2>&1
+  rc=$?
+  end=$(date +%s)
+  echo -e "$name\t$((end-start))\t$rc" >> "$OUT/summary.tsv"
+}
+export -f run_one
+export OUT
+
+ls tests/test_*.py | xargs -P 3 -I{} bash -c 'run_one {}'
+echo DONE >> "$OUT/summary.tsv"
