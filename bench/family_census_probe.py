@@ -52,6 +52,7 @@ def main():
         get_default_poseidon_parameters,
     )
     from sponge_tpu.monolith import get_default_monolith_parameters
+    from sponge_tpu.ops.pallas_cios import TILE_LANES as tile
     from sponge_tpu.ops.pallas_cios import cios_permute_fn
     from sponge_tpu.ops.pallas_monolith import monolith_kernel_fn
     from sponge_tpu.ops.pallas_p2 import p2_permute_fn
@@ -85,7 +86,6 @@ def main():
         parity_gate(cfg, out, vals, lanes, label)
         pps = time_perms(fn, out, B, iters=10)
         # Census at one tile: every kernel here is grid-uniform over lanes.
-        from sponge_tpu.ops.pallas_cios import TILE_LANES as tile
         census = kernel_op_census(
             make(cfg), jax.ShapeDtypeStruct((cfg.t, fs.nlimbs, tile), jnp.int32)
         )

@@ -95,11 +95,14 @@ def merkle_root(
     N must be a power of two.  Each tree level is a batched 2-to-1 compression
     over contiguous pairs.  To keep the number of distinct compiled kernel
     shapes constant regardless of depth, wide levels are processed in
-    fixed-size ``chunk`` slices and narrow levels are zero-padded up to the
-    nearest ``_pad_ladder`` shape (padding lanes compute a valid all-zero
-    compression and are discarded) — ~1+log4(chunk/2048) compiled shapes
-    instead of log2(N), with padded-tail waste bounded at 3x per level.
-    See ``sponge_tpu.parallel.merkle`` for the sharded multi-device version.
+    fixed-size ``chunk`` slices and narrow levels are zero-padded (padding
+    lanes compute a valid all-zero compression and are discarded): on the
+    fused-kernel TPU backends, up to the nearest ``_pad_ladder`` shape —
+    ~1+log4(chunk/2048) compiled shapes instead of log2(N), padded-tail waste
+    bounded at 3x per level; under explicit ``backend="xla"`` or on CPU, up
+    to ``chunk`` (one compiled shape; see ``_pad_width`` for why that trade
+    is right there).  See ``sponge_tpu.parallel.merkle`` for the sharded
+    multi-device version.
     """
     L, N = leaves.shape
     if N & (N - 1):
@@ -165,7 +168,12 @@ def _pad_width(n: int, chunk: int, backend: str = "auto") -> int:
     reductions) and CPU (the test/dryrun mesh): every narrow level pads to
     ``chunk`` so the whole reduction reuses ONE compiled program per level
     shape — there is no kernel tile floor to respect, and compile count, not
-    execution, is the cost that matters."""
+    execution, is the cost that matters.  Note xla-on-TPU is a narrow-tail /
+    test path only: the sharded reduction caps ``chunk`` at the tail width
+    before switching to xla, so pad-to-chunk never exceeds the tail.  Running
+    a FULL tree with explicit backend="xla" on TPU would reinstate the ~13%
+    pad-to-chunk waste the ladder exists to avoid — use backend="auto" for
+    production trees."""
     if backend != "xla" and jax.default_backend() == "tpu":
         if n % _tile_lanes() == 0:
             return n

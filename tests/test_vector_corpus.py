@@ -93,3 +93,79 @@ def test_corpus_device_replay(idx):
     _replay(dev, schedule, device=True)
     assert dev.mode == schedule["final_mode"]
     assert dev.index == schedule["final_index"]
+
+
+def test_rust_crosscheck_harness_in_sync():
+    """The emitted Rust harness (tools/rust_crosscheck/) matches its generator
+    and handles every tag the frozen corpus actually contains."""
+    import pathlib
+    import sys
+
+    repo = pathlib.Path(__file__).resolve().parent.parent
+    sys.path.insert(0, str(repo / "tools"))
+    import gen_rust_crosscheck as gen
+
+    out = repo / "tools" / "rust_crosscheck"
+    assert (out / "Cargo.toml").read_text() == gen.CARGO_TOML
+    assert (out / "src" / "main.rs").read_text() == gen.MAIN_RS
+    assert (out / "README.md").read_text() == gen.README_MD
+
+    # Every tag present in the corpus has a match arm in the Rust interpreter.
+    tags = set()
+
+    def walk(v):
+        tags.add(v["t"])
+        if v["t"] in ("some", "withlen"):
+            walk(v["v"])
+        if v["t"] == "list":
+            for e in v["v"]:
+                walk(e)
+
+    for sch in CORPUS["schedules"]:
+        for st in sch["steps"]:
+            if st["op"] == "absorb":
+                walk(st["value"])
+    for t in tags:
+        assert f'"{t}"' in gen.MAIN_RS, f"corpus tag {t!r} unhandled in main.rs"
+
+
+def test_rust_crosscheck_decomposition_reproduces_corpus():
+    """main.rs decomposes Option/WithLength/mixed-list composites into leaf
+    Absorb calls (flag+payload, len+payload, child concat).  Replay that exact
+    decision tree here and assert it reproduces every frozen encoding, so the
+    generated Rust's structural logic is validated even without a toolchain."""
+    from sponge_tpu import Fp, U8, Usize, get_field, to_sponge_bytes, to_sponge_field_elements
+    from tools.freeze_vectors import de_value
+    from sponge_tpu.absorb import NONE, Some, WithLength, _absorb_length
+
+    FR = get_field("bls12_381_fr")
+
+    def encode(v, bytes_out, elems_out):
+        # Mirrors encode_value in tools/rust_crosscheck/src/main.rs.
+        if isinstance(v, Some):
+            encode(True, bytes_out, elems_out)
+            encode(v.value, bytes_out, elems_out)
+        elif v is NONE:
+            encode(False, bytes_out, elems_out)
+        elif isinstance(v, WithLength):
+            encode(Usize(_absorb_length(v.value)), bytes_out, elems_out)
+            encode(v.value, bytes_out, elems_out)
+        elif isinstance(v, list) and not (
+            v and (all(isinstance(e, U8) for e in v) or all(isinstance(e, Fp) for e in v))
+        ):
+            for c in v:
+                encode(c, bytes_out, elems_out)
+        else:
+            # Leaf / homogeneous vector: the real Absorb impl.
+            bytes_out.extend(to_sponge_bytes(v))
+            to_sponge_field_elements(v, FR, elems_out)
+
+    for sch in CORPUS["schedules"]:
+        for st in sch["steps"]:
+            if st["op"] != "absorb":
+                continue
+            v = de_value(st["value"])
+            b, e = bytearray(), []
+            encode(v, b, e)
+            assert bytes(b).hex() == st["enc_bytes"], st["value"]
+            assert [str(x) for x in e] == st["enc_elems"], st["value"]
