@@ -113,10 +113,14 @@ def measure_perms_per_sec(log_batch: int = 20, reps: int = 8) -> float:
     except Exception:
         pass
 
-    from sponge_tpu import BLS12_381_FR, get_default_poseidon_parameters
+    from sponge_tpu import BLS12_381_FR_L13, get_default_poseidon_parameters
     from sponge_tpu.poseidon.permutation import batched_permute, zero_state
 
-    cfg = get_default_poseidon_parameters(BLS12_381_FR, 2, False)
+    # Flagship limb plan: 13-bit/L=20 with uint32 accumulation — measured
+    # +9% over the 12-bit/L=22 plan on v5e, parity-gated both sides
+    # (bench/limb13_probe.py; docs/DESIGN.md §25).  Same field, same
+    # parameters, same oracle — only the device limb layout differs.
+    cfg = get_default_poseidon_parameters(BLS12_381_FR_L13, 2, False)
     B = 1 << log_batch
     state = zero_state(cfg, B)
 
@@ -138,12 +142,22 @@ def measure_perms_per_sec(log_batch: int = 20, reps: int = 8) -> float:
         out = batched_permute(cfg, state)
         _ = np.asarray(out[0, 0, :4])
 
-    t0 = time.time()
+    # Hardened protocol (bench/_harness.time_perms): one untimed warm window
+    # restores the device clock after the seconds of host-side oracle work
+    # above (a single cold window has been measured up to ~10x low through
+    # the tunnel), then best of 3 timed windows.
     for _ in range(reps):
         out = batched_permute(cfg, out)
-    _ = np.asarray(out[0, 0, :4])  # forces the whole chain
-    dt = (time.time() - t0) / reps
-    return B / dt
+    _ = np.asarray(out[0, 0, :4])
+    best_dt = None
+    for _w in range(3):
+        t0 = time.time()
+        for _ in range(reps):
+            out = batched_permute(cfg, out)
+        _ = np.asarray(out[0, 0, :4])  # forces the whole chain
+        dt = (time.time() - t0) / reps
+        best_dt = dt if best_dt is None else min(best_dt, dt)
+    return B / best_dt
 
 
 def main():

@@ -37,6 +37,7 @@ from .fields import (
     BABYBEAR_FR,
     BLS12_377_FR,
     BLS12_381_FR,
+    BLS12_381_FR_L13,
     BN254_FR,
     GOLDILOCKS_FR,
     KOALABEAR_FR,
@@ -124,6 +125,7 @@ __all__ = [
     "field_cast",
     "poseidon_test_fixture",
     "BLS12_381_FR",
+    "BLS12_381_FR_L13",
     "BN254_FR",
     "BLS12_377_FR",
     "GOLDILOCKS_FR",

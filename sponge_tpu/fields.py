@@ -40,26 +40,45 @@ class FieldSpec:
     generator: int
     limb_bits: int = LIMB_BITS
     nlimbs: int = field(init=False)
+    unsigned_accum: bool = field(init=False)
 
     def __post_init__(self):
         # R = 2^(limb_bits*nlimbs) must exceed every redundant in-kernel value:
         # the lazy-MDS column sums are bounded by ~4.2p (see pallas_cios), so we
         # size for >= 16p of headroom (modulus bits + 4).  For the two shipped
-        # 255/254-bit fields this lands on the same 22-limb layout the native
-        # codec and all frozen vectors assume; small *test* fields (used to run
-        # the unrolled kernel bodies cheaply in CI) get proportionally few limbs.
+        # 255/254-bit fields at 12-bit limbs this lands on the same 22-limb
+        # layout the native codec and all frozen vectors assume; small *test*
+        # fields (used to run the unrolled kernel bodies cheaply in CI) get
+        # proportionally few limbs.
         nlimbs = -(-(self.modulus.bit_length() + 4) // self.limb_bits)
         object.__setattr__(self, "nlimbs", nlimbs)
-        # int32 no-overflow proof obligation for the kernel tiers (see module
+        # 32-bit no-overflow proof obligation for the kernel tiers (see module
         # doc): one schoolbook column plus the Montgomery-reduction additions
-        # must fit a signed 32-bit accumulator.  Enforced for EVERY FieldSpec —
-        # user-defined large-modulus fields must fail loudly, not wrap silently.
-        prod = (1 << self.limb_bits) ** 2
-        if (nlimbs + nlimbs - 1) * prod >= 2 ** 31:
+        # must fit a 32-bit accumulator.  Enforced for EVERY FieldSpec —
+        # user-defined large-modulus fields must fail loudly, not wrap
+        # silently.  Two budgets exist (docs/DESIGN.md §25):
+        #   * signed int32 (< 2^31): the 12-bit plan; kernels run plain int32.
+        #   * unsigned uint32 (< 2^32): the 13-bit plan (L 22 -> 20 for the
+        #     255-bit fields); kernels must compute in uint32 (logical shifts
+        #     — measured at the identical VPU issue rate, bench/uint32_probe).
+        # The product bound uses the quasi-canonical limb ceiling (+256,
+        # conservative) so the relaxed-norm kernel's redundant limbs are
+        # covered by the same obligation.
+        prod = ((1 << self.limb_bits) + 256) * ((1 << self.limb_bits) - 1)
+        bound = (nlimbs + nlimbs - 1) * prod
+        if bound < 2 ** 31:
+            object.__setattr__(self, "unsigned_accum", False)
+        elif bound < 2 ** 32:
+            object.__setattr__(self, "unsigned_accum", True)
+        else:
             raise ValueError(
-                f"modulus too large for the int32 limb design: {nlimbs} limbs of "
-                f"{self.limb_bits} bits overflow the column accumulator"
+                f"modulus too large for the 32-bit limb design: {nlimbs} limbs "
+                f"of {self.limb_bits} bits overflow the column accumulator"
             )
+
+    @property
+    def limb_mask(self) -> int:
+        return (1 << self.limb_bits) - 1
 
     # ---- derived Montgomery constants (python ints, computed once) ----
 
@@ -93,9 +112,10 @@ class FieldSpec:
         """Canonical integer -> (nlimbs,) int32 limb vector (little-endian limbs)."""
         if not 0 <= x < self.r:
             raise ValueError(f"value out of range for limb encoding: {x}")
+        mask = self.limb_mask
         out = np.empty(self.nlimbs, dtype=np.int32)
         for i in range(self.nlimbs):
-            out[i] = x & LIMB_MASK
+            out[i] = x & mask
             x >>= self.limb_bits
         return out
 
@@ -181,6 +201,19 @@ BLS12_381_FR = FieldSpec(
     name="bls12_381_fr",
     modulus=52435875175126190479447740508185965837690552500527637822603658699938581184513,
     generator=7,
+)
+
+# 13-bit-limb layout of the SAME field (docs/DESIGN.md §25): L drops 22 -> 20
+# (~17% fewer schoolbook products per modmul), at the price of unsigned
+# uint32 column accumulation (the worst REDC column exceeds 2^31) and a
+# 2-way MDS accumulation split at t = 3.  Same name on purpose — parameter
+# tables, oracle, and vectors key on the field's mathematical identity;
+# only the device limb plane differs.  A/B measured in bench/limb13_probe.py.
+BLS12_381_FR_L13 = FieldSpec(
+    name="bls12_381_fr",
+    modulus=52435875175126190479447740508185965837690552500527637822603658699938581184513,
+    generator=7,
+    limb_bits=13,
 )
 
 BN254_FR = FieldSpec(

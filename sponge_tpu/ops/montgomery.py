@@ -52,28 +52,30 @@ def field_consts(fs: FieldSpec):
     }
 
 
-def carry_pass(x: jnp.ndarray) -> jnp.ndarray:
+def carry_pass(x: jnp.ndarray, lb: int = LIMB_BITS) -> jnp.ndarray:
     """One vectorized carry-propagation pass along the limb axis (-2).
 
     The carry popped off the top limb is dropped; callers must guarantee by bound
     analysis that the total value fits in L limbs (true everywhere below because
-    Montgomery outputs are < p + 1 < 2^256 << 2^(12*22)).
+    Montgomery outputs are < p + 1 << R).
     """
-    c = x >> LIMB_BITS
-    x = x & LIMB_MASK
+    c = x >> lb
+    x = x & ((1 << lb) - 1)
     c = jnp.concatenate([jnp.zeros_like(c[..., :1, :]), c[..., :-1, :]], axis=-2)
     return x + c
 
 
-def normalize(x: jnp.ndarray, passes: int) -> jnp.ndarray:
+def normalize(x: jnp.ndarray, passes: int, lb: int = LIMB_BITS) -> jnp.ndarray:
     """Apply ``passes`` carry passes; the needed count comes from bound analysis.
 
-    After a Montgomery multiply limbs are < 2^29.2: three passes restore the
-    ``<= 2**12`` redundant invariant exactly (each pass divides the residual carry
-    by 2^12: 2^17.2 -> 2^5.2 -> 1 -> 0).
+    After a Montgomery multiply limbs are < L * (2^lb)^2 (~2^29.2 at the 12-bit
+    plan, ~2^30.4 at the 13-bit plan — int32-safe in both, because this
+    non-interleaved tier normalizes between REDC steps): three passes restore
+    the ``<= 2^lb`` redundant invariant exactly (each pass divides the residual
+    carry by 2^lb).
     """
     for _ in range(passes):
-        x = carry_pass(x)
+        x = carry_pass(x, lb)
     return x
 
 
@@ -168,14 +170,15 @@ def mont_mul(
         p = jnp.asarray(consts["p"])            # (L, 1) canonical limbs
         nprime = jnp.asarray(consts["nprime"])  # (L, 1) limbs of -p^{-1} mod R
 
-    # T = a*b, normalized back to <= 2^12 limbs (3 passes: 2^17 -> 2^5 -> 1 -> 0).
-    # Top-limb carries cannot occur: value < p^2 < 2^510 < 2^(12*2L).
-    t = normalize(_school_full(L, a, b), passes=3)
+    lb = fs.limb_bits
+    # T = a*b, normalized back to <= 2^lb limbs (3 passes; bound analysis in
+    # ``normalize``).  Top-limb carries cannot occur: value < p^2 << R^2.
+    t = normalize(_school_full(L, a, b), passes=3, lb=lb)
     t_lo, t_hi = t[..., :L, :], t[..., L:, :]
 
     # m ≡ T * N' (mod R): low-half product, carries above limb L-1 intentionally
     # dropped (that *is* the mod R), renormalized for the next product.
-    m = normalize(_school_low(L, t_lo, nprime), passes=3)
+    m = normalize(_school_low(L, t_lo, nprime), passes=3, lb=lb)
 
     # S = T + m*p.  S ≡ 0 (mod R), so the exact low-half carry chain terminates
     # with S_lo / R, which is added at limb position L.
@@ -185,7 +188,7 @@ def mont_mul(
 
     c = jnp.zeros_like(s_lo[..., 0, :])
     for k in range(L):
-        c = (s_lo[..., k, :] + c) >> LIMB_BITS
+        c = (s_lo[..., k, :] + c) >> lb
     # r[0] += c, expressed as slice+concat (scatter-add does not lower in Pallas).
     r = jnp.concatenate(
         [s_hi[..., :1, :] + c[..., None, :], s_hi[..., 1:, :]], axis=-2
@@ -197,7 +200,7 @@ def mont_mul(
     # (mont_mul_fold) substitute a rho-folding norm instead.
     if final_norm is not None:
         return final_norm(r)
-    return normalize(r, passes=3)
+    return normalize(r, passes=3, lb=lb)
 
 
 def mont_add(fs: FieldSpec, *xs: jnp.ndarray) -> jnp.ndarray:
@@ -213,7 +216,7 @@ def mont_add(fs: FieldSpec, *xs: jnp.ndarray) -> jnp.ndarray:
     acc = xs[0]
     for x in xs[1:]:
         acc = acc + x
-    return normalize(acc, passes=2)
+    return normalize(acc, passes=2, lb=fs.limb_bits)
 
 
 def mont_pow(
@@ -263,12 +266,14 @@ def canonicalize(fs: FieldSpec, x: jnp.ndarray) -> jnp.ndarray:
     p = jnp.asarray(field_consts(fs)["p"])
 
     # Exact carry chain -> unique limb decomposition of the (possibly = p) value.
+    lb = fs.limb_bits
+    mask = (1 << lb) - 1
     c = jnp.zeros_like(x[..., 0, :])
     outs = []
     for k in range(L):
         v = x[..., k, :] + c
-        outs.append(v & LIMB_MASK)
-        c = v >> LIMB_BITS
+        outs.append(v & mask)
+        c = v >> lb
     y = jnp.stack(outs, axis=-2)
 
     # Conditional subtraction: z = y - p with a sequential borrow chain.
@@ -276,8 +281,8 @@ def canonicalize(fs: FieldSpec, x: jnp.ndarray) -> jnp.ndarray:
     zs = []
     for k in range(L):
         d = y[..., k, :] - p[k, 0] - borrow
-        zs.append(d & LIMB_MASK)
-        borrow = (d >> LIMB_BITS) & 1      # 1 iff d was negative (arith shift)
+        zs.append(d & mask)
+        borrow = (d >> lb) & 1      # 1 iff d was negative (arith shift)
     z = jnp.stack(zs, axis=-2)
     ge_p = (borrow == 0)[..., None, :]     # no final borrow <=> y >= p
     return jnp.where(ge_p, z, y)
@@ -329,18 +334,19 @@ class OracleField:
 # ----------------------------------------------------------------------------------
 
 
-def _exact_pass(x: jnp.ndarray):
+def _exact_pass(x: jnp.ndarray, lb: int = LIMB_BITS):
     """One exact sequential carry pass along the limb axis.
 
-    Returns (limbs <= 0xfff, top_carry) — nothing is dropped; the caller folds
-    or proves the top carry zero."""
+    Returns (limbs <= 2^lb - 1, top_carry) — nothing is dropped; the caller
+    folds or proves the top carry zero."""
+    mask = (1 << lb) - 1
     L = x.shape[-2]
     c = jnp.zeros_like(x[..., 0, :])
     outs = []
     for k in range(L):
         v = x[..., k, :] + c
-        outs.append(v & LIMB_MASK)
-        c = v >> LIMB_BITS
+        outs.append(v & mask)
+        c = v >> lb
     return jnp.stack(outs, axis=-2), c
 
 
@@ -384,13 +390,13 @@ def fold_norm(
     rho = R % p
     if not vmax:
         assert deferred_limb_bound > 0
-        vmax = deferred_limb_bound * ((R - 1) // LIMB_MASK) + 1
+        vmax = deferred_limb_bound * ((R - 1) // fs.limb_mask) + 1
     folds = fold_count(R, rho, vmax)
     rho_col = jnp.asarray(_rho_col(fs))
     for _ in range(folds):
-        x, c = _exact_pass(x)
+        x, c = _exact_pass(x, fs.limb_bits)
         x = x + c[..., None, :] * rho_col
-    out, _c = _exact_pass(x)  # top carry provably zero by fold_count
+    out, _c = _exact_pass(x, fs.limb_bits)  # top carry provably zero
     return out
 
 

@@ -45,25 +45,26 @@ SUBLANES = 16
 TILE_LANES = SUBLANES * 128
 
 
-def _norm1(limbs):
+def _norm1(limbs, lb=LIMB_BITS):
     """Exact one-pass sequential carry normalization of a limb list.
 
     carry_k is the fully-propagated carry out of limb k-1, so outputs are
-    canonical (< 2^12) in a single pass; the carry out of the top limb is
-    dropped (value-bound analysis: all in-kernel values stay < 4p < 2^257
-    << 2^264, so the top carry is always zero).
+    canonical (< 2^lb) in a single pass; the carry out of the top limb is
+    dropped (value-bound analysis: all in-kernel values stay < 4p << R, so
+    the top carry is always zero).
     """
+    mask = (1 << lb) - 1
     out = []
     carry = None
     for v in limbs:
         if carry is not None:
             v = v + carry
-        out.append(v & LIMB_MASK)
-        carry = v >> LIMB_BITS
+        out.append(v & mask)
+        carry = v >> lb
     return out
 
 
-def _relaxed_norm_multi(limbs_list, passes=2):
+def _relaxed_norm_multi(limbs_list, passes=2, lb=LIMB_BITS):
     """Chain-FREE epsilon-redundant normalization: ``passes`` parallel
     split-carry passes ``out[k] = (v[k] & mask) + (v[k-1] >> 12)``.
 
@@ -79,12 +80,12 @@ def _relaxed_norm_multi(limbs_list, passes=2):
     pass suffices for add-sites whose input is <= 2^19 (ark adds, sparse
     column adds, grouped-MDS part sums) and lands <= 4095 + 128.
     """
+    mask = (1 << lb) - 1
     outs = limbs_list
     for _ in range(passes):
         outs = [
             [
-                (limbs[k] & LIMB_MASK)
-                + (limbs[k - 1] >> LIMB_BITS if k else 0)
+                (limbs[k] & mask) + (limbs[k - 1] >> lb if k else 0)
                 for k in range(len(limbs))
             ]
             for limbs in outs
@@ -92,12 +93,12 @@ def _relaxed_norm_multi(limbs_list, passes=2):
     return outs
 
 
-def _relaxed_norm(limbs, passes=2):
+def _relaxed_norm(limbs, passes=2, lb=LIMB_BITS):
     """Single-list form of ``_relaxed_norm_multi``."""
-    return _relaxed_norm_multi([limbs], passes)[0]
+    return _relaxed_norm_multi([limbs], passes, lb)[0]
 
 
-def _redc(L, cols, p_limbs, n0inv, final_norm=None):
+def _redc(L, cols, p_limbs, n0inv, final_norm=None, lb=LIMB_BITS):
     """Interleaved-carry Montgomery reduction of a 2L redundant column list.
 
     Standard base-2^12 CIOS tail: per limb i, u = (true value at i) * N'0 mod
@@ -108,19 +109,22 @@ def _redc(L, cols, p_limbs, n0inv, final_norm=None):
     sequential ``_norm1``; the relaxed kernel substitutes the chain-free
     ``_relaxed_norm``).
     """
+    mask = (1 << lb) - 1
     c = None
     for i in range(L):
         v = cols[i] if c is None else cols[i] + c
-        u = (v * n0inv) & LIMB_MASK
+        u = (v * n0inv) & mask
         w = v + u * p_limbs[0]
-        c = w >> LIMB_BITS
+        c = w >> lb
         for k in range(1, L):
             pk = p_limbs[k]
             if pk:
                 cols[i + k] = cols[i + k] + u * pk
     res = list(cols[L : 2 * L])
     res[0] = res[0] + c
-    return (final_norm or _norm1)(res)
+    if final_norm is not None:
+        return final_norm(res)
+    return _norm1(res, lb)
 
 
 def _mul_cols(L, a, b):
@@ -135,12 +139,12 @@ def _mul_cols(L, a, b):
     return cols
 
 
-def _cios_mul(L, a, b, p_limbs, n0inv, final_norm=None):
+def _cios_mul(L, a, b, p_limbs, n0inv, final_norm=None, lb=LIMB_BITS):
     """Montgomery product of two limb lists (schoolbook + interleaved REDC)."""
-    return _redc(L, _mul_cols(L, a, b), p_limbs, n0inv, final_norm)
+    return _redc(L, _mul_cols(L, a, b), p_limbs, n0inv, final_norm, lb)
 
 
-def _cios_mul_const(L, a, b_ints, p_limbs, n0inv):
+def _cios_mul_const(L, a, b_ints, p_limbs, n0inv, lb=LIMB_BITS):
     """Montgomery product where ``b`` is a static python-int limb tuple."""
     cols = [None] * (2 * L)
     for j in range(L):
@@ -153,7 +157,7 @@ def _cios_mul_const(L, a, b_ints, p_limbs, n0inv):
     for k in range(2 * L):
         if cols[k] is None:
             cols[k] = jnp.zeros_like(a[0])
-    return _redc(L, cols, p_limbs, n0inv)
+    return _redc(L, cols, p_limbs, n0inv, lb=lb)
 
 
 def _sqr_cols(L, a):
@@ -180,9 +184,9 @@ def _sqr_cols(L, a):
     return cols
 
 
-def _cios_sqr(L, a, p_limbs, n0inv, final_norm=None):
+def _cios_sqr(L, a, p_limbs, n0inv, final_norm=None, lb=LIMB_BITS):
     """Montgomery square via the symmetric column builder + interleaved REDC."""
-    return _redc(L, _sqr_cols(L, a), p_limbs, n0inv, final_norm)
+    return _redc(L, _sqr_cols(L, a), p_limbs, n0inv, final_norm, lb)
 
 
 # ---------------------------------------------------------------------------
@@ -200,8 +204,9 @@ def _cios_sqr(L, a, p_limbs, n0inv, final_norm=None):
 # ---------------------------------------------------------------------------
 
 
-def _norm1_multi(limbs_list):
+def _norm1_multi(limbs_list, lb=LIMB_BITS):
     """_norm1 over several limb lists with interleaved carry steps."""
+    mask = (1 << lb) - 1
     n = len(limbs_list)
     L = len(limbs_list[0])
     outs = [[] for _ in range(n)]
@@ -211,27 +216,28 @@ def _norm1_multi(limbs_list):
             v = limbs_list[e][k]
             if carries[e] is not None:
                 v = v + carries[e]
-            outs[e].append(v & LIMB_MASK)
-            carries[e] = v >> LIMB_BITS
+            outs[e].append(v & mask)
+            carries[e] = v >> lb
     return outs
 
 
-def _redc_multi(L, cols_list, p_limbs, n0inv, final_norm=None):
+def _redc_multi(L, cols_list, p_limbs, n0inv, final_norm=None, lb=LIMB_BITS):
     """_redc over several independent column lists, steps interleaved.
 
     ``final_norm`` overrides the closing carry normalization (default
     ``_norm1_multi``); used by the Poseidon2 kernel to substitute a
     top-carry-folding norm for inputs whose values may reach the Montgomery
     radix R (ops/pallas_p2.py)."""
+    mask = (1 << lb) - 1
     n = len(cols_list)
     cs = [None] * n
     for i in range(L):
         for e in range(n):
             cols = cols_list[e]
             v = cols[i] if cs[e] is None else cols[i] + cs[e]
-            u = (v * n0inv) & LIMB_MASK
+            u = (v * n0inv) & mask
             w = v + u * p_limbs[0]
-            cs[e] = w >> LIMB_BITS
+            cs[e] = w >> lb
             for k in range(1, L):
                 pk = p_limbs[k]
                 if pk:
@@ -241,10 +247,12 @@ def _redc_multi(L, cols_list, p_limbs, n0inv, final_norm=None):
         res = list(cols_list[e][L : 2 * L])
         res[0] = res[0] + cs[e]
         res_list.append(res)
-    return (final_norm or _norm1_multi)(res_list)
+    if final_norm is not None:
+        return final_norm(res_list)
+    return _norm1_multi(res_list, lb)
 
 
-def _pow_alpha_multi(L, xs, alpha, p_limbs, n0inv, final_norm=None):
+def _pow_alpha_multi(L, xs, alpha, p_limbs, n0inv, final_norm=None, lb=LIMB_BITS):
     """x^alpha for several independent elements, square/multiply steps emitted
     in lockstep so the per-step REDC chains interleave.  ``final_norm`` is
     threaded to every intermediate REDC (see ``_redc_multi``)."""
@@ -252,7 +260,7 @@ def _pow_alpha_multi(L, xs, alpha, p_limbs, n0inv, final_norm=None):
     accs = list(xs)
     for bit in bits[1:]:
         accs = _redc_multi(
-            L, [_sqr_cols(L, a) for a in accs], p_limbs, n0inv, final_norm
+            L, [_sqr_cols(L, a) for a in accs], p_limbs, n0inv, final_norm, lb
         )
         if bit == "1":
             accs = _redc_multi(
@@ -261,18 +269,19 @@ def _pow_alpha_multi(L, xs, alpha, p_limbs, n0inv, final_norm=None):
                 p_limbs,
                 n0inv,
                 final_norm,
+                lb,
             )
     return accs
 
 
-def _pow_alpha(L, x, alpha, p_limbs, n0inv, final_norm=None):
+def _pow_alpha(L, x, alpha, p_limbs, n0inv, final_norm=None, lb=LIMB_BITS):
     """x^alpha by MSB-first square-and-multiply over limb lists."""
     bits = bin(alpha)[2:]
     acc = x
     for bit in bits[1:]:
-        acc = _cios_sqr(L, acc, p_limbs, n0inv, final_norm)
+        acc = _cios_sqr(L, acc, p_limbs, n0inv, final_norm, lb)
         if bit == "1":
-            acc = _cios_mul(L, acc, x, p_limbs, n0inv, final_norm)
+            acc = _cios_mul(L, acc, x, p_limbs, n0inv, final_norm, lb)
     return acc
 
 
@@ -297,7 +306,7 @@ def _row_dot_cols(L, elems, coeffs, js):
 
 def _sparse_apply(
     L, t, elems, row0, col0, p_limbs, n0inv, groups=None, final_norm=None,
-    sum_norm=None,
+    sum_norm=None, lb=LIMB_BITS,
 ):
     """Apply one optimized-partial-round sparse matrix to limb-list elements.
 
@@ -307,29 +316,44 @@ def _sparse_apply(
     REDC(col0[i-1] * elems[0]) + elems[i] (limbs <= 2^13, renormalized by the
     next round's constant-add norm).
     """
-    groups = groups or _mds_groups(L, t)
+    groups = groups or _mds_groups(L, t, lb=lb)
     # out0 = sum_e row0[e] * elems[e]
     parts = [
-        _redc(L, _row_dot_cols(L, elems, row0, js), p_limbs, n0inv, final_norm)
+        _redc(L, _row_dot_cols(L, elems, row0, js), p_limbs, n0inv, final_norm, lb)
         for js in groups
     ]
-    out = [
-        parts[0]
-        if len(parts) == 1
-        else (sum_norm or _norm1)(_sum_limbs(parts))
-    ]
+    if len(parts) == 1:
+        out = [parts[0]]
+    elif sum_norm is not None:
+        out = [sum_norm(_sum_limbs(parts))]
+    else:
+        out = [_norm1(_sum_limbs(parts), lb)]
     # out[i] = col0[i-1] * x0 + x_i
     x0 = elems[0]
     for i in range(1, t):
         prod = _redc(
             L, _row_dot_cols(L, [x0], [col0[i - 1]], [0]), p_limbs, n0inv,
-            final_norm,
+            final_norm, lb,
         )
-        out.append([a + b for a, b in zip(prod, elems[i])])  # limbs <= 2^13
+        out.append([a + b for a, b in zip(prod, elems[i])])  # limbs <= 2^(lb+1)
     return out
 
 
 QUASI_LIMB_MAX = (1 << LIMB_BITS) + 128  # 2-pass _relaxed_norm output bound
+
+
+def quasi_limb_max(lb=LIMB_BITS, unsigned=False):
+    """Exact 2-pass ``_relaxed_norm`` output bound for limb width ``lb``.
+
+    Inputs are REDC tails below the accumulator budget (2^31 signed int32 /
+    2^32 unsigned uint32 — the 13-bit plan, DESIGN §25); two split-carry
+    passes bring any such value to (2^lb - 1) + second-pass carry.  At the
+    12-bit/int32 plan this gives 4223 — one tighter than the conservative
+    historical constant QUASI_LIMB_MAX = 4224 (same grouping everywhere).
+    """
+    budget = (1 << 32) if unsigned else (1 << 31)
+    pass1 = ((1 << lb) - 1) + ((budget - 1) >> lb)
+    return ((1 << lb) - 1) + (pass1 >> lb)
 
 # ---------------------------------------------------------------------------
 # MXU MDS path (docs/DESIGN.md §24).
@@ -413,32 +437,36 @@ def _mds_apply_mxu(L, t, elems, w_ref, p_limbs, n0inv, final_norm=None):
     )
 
 
-def _mds_groups(L, t, max_group=None, quasi=False):
+def _mds_groups(L, t, max_group=None, quasi=False, lb=LIMB_BITS, unsigned=False):
     """Partition of the MDS dot indices 0..t-1 into lazy-accumulation groups.
 
     A shared REDC over g accumulated products has columns holding up to
-    g*L schoolbook addends plus (L-1) REDC addends, each < 2^24; int32
-    safety therefore requires g*L + L - 1 <= 127.  For t <= g (every
-    config with t <= 4 at L = 22) this is a single group and the trace is
-    identical to the ungrouped kernel; wide states (rates 4-8, t >= 5)
-    split into ceil(t/g) groups whose reduced outputs are summed
-    (canonical limbs, <= ceil(t/g) * 2^12) and renormalized.
-    ``max_group`` forces a smaller group purely so CI can exercise the
-    grouped path at tiny L.
+    g*L schoolbook addends plus (L-1) REDC addends, each < (2^lb - 1)^2;
+    accumulator safety therefore requires (g*L + L - 1) * (2^lb - 1)^2 to
+    fit the budget — 2^31 for the signed int32 plan, 2^32 for the unsigned
+    uint32 plan (13-bit limbs, DESIGN §25).  For t <= g (every config with
+    t <= 4 at L = 22) this is a single group and the trace is identical to
+    the ungrouped kernel; wider dots split into ceil(t/g) groups whose
+    reduced outputs are summed (canonical limbs, <= ceil(t/g) * 2^lb) and
+    renormalized.  ``max_group`` forces a smaller group purely so CI can
+    exercise the grouped path at tiny L.
 
     ``quasi=True`` tightens the budget for the relaxed-norm kernel, whose
-    element limbs are <= QUASI_LIMB_MAX instead of < 2^12: schoolbook
-    addends are then <= QUASI_LIMB_MAX * (2^12 - 1) each (constants stay
-    canonical), so g*L * QUASI_LIMB_MAX * cmax + (L-1) * cmax^2 < 2^31
-    (at L = 22 this still yields g = 4 — identical grouping to the exact
-    kernel for every production config).
+    element limbs are <= quasi_limb_max(lb, unsigned) instead of < 2^lb:
+    schoolbook addends are then <= qmax * cmax each (constants stay
+    canonical), so g*L * qmax * cmax + (L-1) * cmax^2 < budget (at L = 22,
+    lb = 12 this still yields g = 4 — identical grouping to the exact
+    kernel for every production config; at L = 20, lb = 13 both modes
+    yield g = 2).
     """
+    budget = (1 << 32) if unsigned else (1 << 31)
+    cmax = (1 << lb) - 1
     if quasi:
-        cmax = (1 << LIMB_BITS) - 1
-        num = (1 << 31) - (L - 1) * cmax * cmax - (1 << 24)  # 2^24 slack
-        g = num // (QUASI_LIMB_MAX * cmax) // L
+        qmax = quasi_limb_max(lb, unsigned)
+        num = budget - (L - 1) * cmax * cmax - (1 << 24)  # running-carry slack
+        g = num // (qmax * cmax) // L
     else:
-        g = (128 - L) // L
+        g = (budget // (cmax * cmax) - L) // L
     if max_group is not None:
         g = min(g, max_group)
     if g < 1:
@@ -456,7 +484,7 @@ def _sum_limbs(parts):
 
 def _mds_apply(
     L, t, elems, mds_ints, p_limbs, n0inv, groups=None, final_norm=None,
-    sum_norm=None,
+    sum_norm=None, lb=LIMB_BITS,
 ):
     """new[i] = sum_j mds[i][j] * elems[j], with lazy column accumulation.
 
@@ -465,21 +493,22 @@ def _mds_apply(
     renormalize, so the output is always canonical (quasi-canonical in the
     relaxed kernel).
     """
-    groups = groups or _mds_groups(L, t)
+    groups = groups or _mds_groups(L, t, lb=lb)
     out = []
     for i in range(t):
         parts = [
             _redc(
                 L, _mds_row_cols(L, t, elems, mds_ints[i], js), p_limbs,
-                n0inv, final_norm,
+                n0inv, final_norm, lb,
             )
             for js in groups
         ]
-        out.append(
-            parts[0]
-            if len(parts) == 1
-            else (sum_norm or _norm1)(_sum_limbs(parts))
-        )
+        if len(parts) == 1:
+            out.append(parts[0])
+        elif sum_norm is not None:
+            out.append(sum_norm(_sum_limbs(parts)))
+        else:
+            out.append(_norm1(_sum_limbs(parts), lb))
     return out
 
 
@@ -506,10 +535,10 @@ def _mds_row_cols(L, t, elems, row_ints, js=None):
 
 def _mds_apply_multi(
     L, t, elems, mds_ints, p_limbs, n0inv, groups=None, final_norm=None,
-    sum_norm=None,
+    sum_norm=None, lb=LIMB_BITS,
 ):
     """_mds_apply with the t output-row REDC chains interleaved."""
-    groups = groups or _mds_groups(L, t)
+    groups = groups or _mds_groups(L, t, lb=lb)
     parts = [[] for _ in range(t)]
     for js in groups:
         red = _redc_multi(
@@ -518,19 +547,23 @@ def _mds_apply_multi(
             p_limbs,
             n0inv,
             final_norm,
+            lb,
         )
         for i in range(t):
             parts[i].append(red[i])
     if len(groups) == 1:
         return [parts[i][0] for i in range(t)]
-    return (sum_norm or _norm1_multi)([_sum_limbs(parts[i]) for i in range(t)])
+    sums = [_sum_limbs(parts[i]) for i in range(t)]
+    if sum_norm is not None:
+        return sum_norm(sums)
+    return _norm1_multi(sums, lb)
 
 
-def _sparse_cols_list(L, t, elems, row0, col0, groups=None):
+def _sparse_cols_list(L, t, elems, row0, col0, groups=None, lb=LIMB_BITS):
     """Column lists of one optimized-partial-round sparse apply: the row0-dot
     accumulation groups (indices 0..G-1, see ``_mds_groups``) followed by the
     t-1 column products col0[i-1]*x0.  All entries are mutually independent."""
-    groups = groups or _mds_groups(L, t)
+    groups = groups or _mds_groups(L, t, lb=lb)
     cols_list = [_row_dot_cols(L, elems, row0, js) for js in groups]
     # col0[i-1] * x0 products.
     x0 = elems[0]
@@ -577,16 +610,19 @@ def _sparse_combine(L, t, reduced, elems, n_groups, sum_norm=None):
 
 def _sparse_apply_multi(
     L, t, elems, row0, col0, p_limbs, n0inv, groups=None, final_norm=None,
-    sum_norm=None,
+    sum_norm=None, lb=LIMB_BITS,
 ):
     """_sparse_apply with the row0-dot REDC(s) and the t-1 column-product REDCs
     interleaved (they are mutually independent)."""
-    groups = groups or _mds_groups(L, t)
+    groups = groups or _mds_groups(L, t, lb=lb)
     reduced = _redc_multi(
         L, _sparse_cols_list(L, t, elems, row0, col0, groups), p_limbs, n0inv,
-        final_norm,
+        final_norm, lb,
     )
-    return _sparse_combine(L, t, reduced, elems, len(groups), sum_norm)
+    return _sparse_combine(
+        L, t, reduced, elems, len(groups),
+        sum_norm or functools.partial(_norm1_multi, lb=lb),
+    )
 
 
 def _permute_kernel_streams(
@@ -625,6 +661,8 @@ def _permute_kernel_streams(
     fs = cfg.field
     L = fs.nlimbs
     t = cfg.t
+    lb = fs.limb_bits
+    unsigned = fs.unsigned_accum
     ns = lane_streams
     fc = mont.field_consts(fs)
     p_limbs = fc["p_tuple"]
@@ -633,16 +671,21 @@ def _permute_kernel_streams(
         tuple(tuple(int(v) for v in fs.int_to_mont_limbs(c)) for c in row)
         for row in cfg.mds
     )
-    groups = _mds_groups(L, t, mds_group, quasi=relaxed)
+    groups = _mds_groups(L, t, mds_group, quasi=relaxed, lb=lb, unsigned=unsigned)
     G = len(groups)
     if relaxed:
-        tail_norm_multi = functools.partial(_relaxed_norm_multi, passes=2)
-        small_norm_multi = functools.partial(_relaxed_norm_multi, passes=1)
+        tail_norm_multi = functools.partial(_relaxed_norm_multi, passes=2, lb=lb)
+        small_norm_multi = functools.partial(_relaxed_norm_multi, passes=1, lb=lb)
     else:
         tail_norm_multi = None  # helpers default to the exact _norm1_multi
-        small_norm_multi = _norm1_multi
+        small_norm_multi = functools.partial(_norm1_multi, lb=lb)
 
     st4_init = state_ref[:]
+    if unsigned:
+        # The 13-bit plan's worst column sums exceed 2^31 but stay < 2^32:
+        # compute the whole round schedule in uint32 (logical shifts; same
+        # measured VPU issue rate — bench/uint32_probe.py, DESIGN §25).
+        st4_init = st4_init.astype(jnp.uint32)
     S = st4_init.shape[2]
     h = S // ns
 
@@ -680,7 +723,7 @@ def _permute_kernel_streams(
     def sbox_streams(sts, e):
         outs = _pow_alpha_multi(
             L, [sts[s][e] for s in range(ns)], cfg.alpha, p_limbs, n0inv,
-            tail_norm_multi,
+            tail_norm_multi, lb,
         )
         for s in range(ns):
             sts[s][e] = outs[s]
@@ -689,7 +732,7 @@ def _permute_kernel_streams(
         """All t*ns full-round S-box chains in one interleaved emission."""
         outs = _pow_alpha_multi(
             L, [sts[s][e] for s in range(ns) for e in range(t)],
-            cfg.alpha, p_limbs, n0inv, tail_norm_multi,
+            cfg.alpha, p_limbs, n0inv, tail_norm_multi, lb,
         )
         for s in range(ns):
             for e in range(t):
@@ -716,6 +759,7 @@ def _permute_kernel_streams(
             p_limbs,
             n0inv,
             tail_norm_multi,
+            lb,
         )
         return [[red[s * t + i] for i in range(t)] for s in range(ns)]
 
@@ -736,6 +780,7 @@ def _permute_kernel_streams(
                     p_limbs,
                     n0inv,
                     tail_norm_multi,
+                    lb,
                 )
                 for s in range(ns):
                     for i in range(t):
@@ -764,6 +809,7 @@ def _permute_kernel_streams(
                     p_limbs,
                     n0inv,
                     tail_norm_multi,
+                    lb,
                 )
                 for s in range(ns):
                     parts[s].append(red[s])
@@ -842,7 +888,7 @@ def _permute_kernel_streams(
                         for s in range(ns)
                         for idx in range(G + t - 1)
                     ],
-                    p_limbs, n0inv, tail_norm_multi,
+                    p_limbs, n0inv, tail_norm_multi, lb,
                 )
                 for s in range(ns):
                     reduced[s] = red[s * (G + t - 1):(s + 1) * (G + t - 1)]
@@ -852,7 +898,7 @@ def _permute_kernel_streams(
                 for idx in range(G + t - 1):
                     red = _redc_multi(
                         L, [per_stream[s][idx] for s in range(ns)], p_limbs,
-                        n0inv, tail_norm_multi,
+                        n0inv, tail_norm_multi, lb,
                     )
                     for s in range(ns):
                         reduced[s].append(red[s])
@@ -890,11 +936,13 @@ def _permute_kernel_streams(
         # canonical-limb output contract (values are < 4.1p << R, so _norm1
         # is exact on quasi-canonical limbs).
         sts = unpack_streams(st4)
-        flat = _norm1_multi([sts[s][e] for s in range(ns) for e in range(t)])
+        flat = _norm1_multi([sts[s][e] for s in range(ns) for e in range(t)], lb)
         for s in range(ns):
             for e in range(t):
                 sts[s][e] = flat[s * t + e]
         st4 = pack_streams(sts)
+    if unsigned:
+        st4 = st4.astype(jnp.int32)  # canonical limbs < 2^lb: exact
     out_ref[:] = st4
 
 
@@ -913,6 +961,8 @@ def _permute_kernel(
     fs = cfg.field
     L = fs.nlimbs
     t = cfg.t
+    lb = fs.limb_bits
+    unsigned = fs.unsigned_accum
     fc = mont.field_consts(fs)
     p_limbs = fc["p_tuple"]
     n0inv = int(fc["n0inv"])
@@ -921,16 +971,16 @@ def _permute_kernel(
         tuple(tuple(int(v) for v in fs.int_to_mont_limbs(c)) for c in row)
         for row in cfg.mds
     )
-    groups = _mds_groups(L, t, mds_group, quasi=relaxed)
+    groups = _mds_groups(L, t, mds_group, quasi=relaxed, lb=lb, unsigned=unsigned)
     if relaxed:
-        tail_norm = functools.partial(_relaxed_norm, passes=2)
-        tail_norm_multi = functools.partial(_relaxed_norm_multi, passes=2)
-        small_norm = functools.partial(_relaxed_norm, passes=1)
-        small_norm_multi = functools.partial(_relaxed_norm_multi, passes=1)
+        tail_norm = functools.partial(_relaxed_norm, passes=2, lb=lb)
+        tail_norm_multi = functools.partial(_relaxed_norm_multi, passes=2, lb=lb)
+        small_norm = functools.partial(_relaxed_norm, passes=1, lb=lb)
+        small_norm_multi = functools.partial(_relaxed_norm_multi, passes=1, lb=lb)
     else:
         tail_norm = tail_norm_multi = None  # helpers default to exact norms
-        small_norm = _norm1
-        small_norm_multi = _norm1_multi
+        small_norm = functools.partial(_norm1, lb=lb)
+        small_norm_multi = functools.partial(_norm1_multi, lb=lb)
 
     def unpack(st4):
         return [[st4[e, l] for l in range(L)] for e in range(t)]
@@ -955,15 +1005,17 @@ def _permute_kernel(
         if full:
             if pipelined:
                 elems = _pow_alpha_multi(
-                    L, elems, cfg.alpha, p_limbs, n0inv, tail_norm_multi
+                    L, elems, cfg.alpha, p_limbs, n0inv, tail_norm_multi, lb
                 )
             else:
                 elems = [
-                    _pow_alpha(L, x, cfg.alpha, p_limbs, n0inv, tail_norm)
+                    _pow_alpha(L, x, cfg.alpha, p_limbs, n0inv, tail_norm, lb)
                     for x in elems
                 ]
         else:
-            elems[0] = _pow_alpha(L, elems[0], cfg.alpha, p_limbs, n0inv, tail_norm)
+            elems[0] = _pow_alpha(
+                L, elems[0], cfg.alpha, p_limbs, n0inv, tail_norm, lb
+            )
         if mdsw_ref is not None:
             return pack(
                 _mds_apply_mxu(
@@ -976,11 +1028,16 @@ def _permute_kernel(
                 L, t, elems, mds_ints, p_limbs, n0inv, groups,
                 final_norm=tail_norm_multi if pipelined else tail_norm,
                 sum_norm=small_norm_multi if pipelined else small_norm,
+                lb=lb,
             )
         )
 
     half = cfg.full_rounds // 2
     st4 = state_ref[:]
+    if unsigned:
+        # uint32 accumulation plan (13-bit limbs, DESIGN §25): see
+        # _permute_kernel_streams.
+        st4 = st4.astype(jnp.uint32)
 
     st4 = jax.lax.fori_loop(0, half, lambda r, s: round_body(r, s, True), st4)
 
@@ -1003,7 +1060,7 @@ def _permute_kernel(
 
         # First partial round: original ark row (index half), sbox0 only.
         elems = ark_norm(unpack(st4), half)
-        elems[0] = _pow_alpha(L, elems[0], cfg.alpha, p_limbs, n0inv, tail_norm)
+        elems[0] = _pow_alpha(L, elems[0], cfg.alpha, p_limbs, n0inv, tail_norm, lb)
         st4 = pack(elems)
 
         def opt_body(r, s4):
@@ -1022,8 +1079,9 @@ def _permute_kernel(
                 L, t, els, row0, col0, p_limbs, n0inv, groups,
                 final_norm=tail_norm_multi if pipelined else tail_norm,
                 sum_norm=small_norm_multi if pipelined else small_norm,
+                lb=lb,
             )
-            els[0] = _pow_alpha(L, els[0], cfg.alpha, p_limbs, n0inv, tail_norm)
+            els[0] = _pow_alpha(L, els[0], cfg.alpha, p_limbs, n0inv, tail_norm, lb)
             return pack(els)
 
         st4 = jax.lax.fori_loop(0, cfg.partial_rounds - 1, opt_body, st4)
@@ -1041,6 +1099,7 @@ def _permute_kernel(
                 L, t, elems, d_ints, p_limbs, n0inv, groups,
                 final_norm=tail_norm_multi if pipelined else tail_norm,
                 sum_norm=small_norm_multi if pipelined else small_norm,
+                lb=lb,
             )
         )
 
@@ -1049,7 +1108,9 @@ def _permute_kernel(
     )
     if relaxed:
         # Exit canonicalization (see _permute_kernel_streams).
-        st4 = pack(_norm1_multi(unpack(st4)))
+        st4 = pack(_norm1_multi(unpack(st4), lb))
+    if unsigned:
+        st4 = st4.astype(jnp.int32)  # canonical limbs < 2^lb: exact
     out_ref[:] = st4
 
 
@@ -1102,6 +1163,10 @@ def cios_permute_fn(
     """
     if mds_mxu:
         optimized = False
+        if cfg.field.limb_bits != 12:
+            # The 6-bit position rebin (cols[k] = pos[2k] + pos[2k+1] << 6)
+            # assumes two 6-bit pieces per limb, i.e. the 12-bit plan.
+            raise ValueError("mds_mxu supports the 12-bit limb plan only")
         if wide_interleave or pipelined:
             # The streams kernel's MXU branch replaces the whole MDS emission,
             # so these schedule variants would be silently ignored — reject the
@@ -1120,14 +1185,20 @@ def cios_permute_fn(
     t = cfg.t
     R = cfg.rounds
     tile_lanes = sublanes * 128
-    # Raises if L itself exceeds the int32 budget (quasi budget when relaxed).
-    _mds_groups(L, t, mds_group, quasi=relaxed)
+    # SMEM round constants carry the kernel's accumulator dtype so in-kernel
+    # scalar reads never mix signedness (uint32 for the 13-bit plan).
+    smem_dtype = np.uint32 if fs.unsigned_accum else np.int32
+    # Raises if L itself exceeds the 32-bit budget (quasi budget when relaxed).
+    _mds_groups(
+        L, t, mds_group, quasi=relaxed, lb=fs.limb_bits,
+        unsigned=fs.unsigned_accum,
+    )
     ark_np = np.stack(
         [
             np.concatenate([fs.int_to_mont_limbs(c) for c in row])
             for row in cfg.ark
         ]
-    ).astype(np.int32)  # (R, t*L)
+    ).astype(smem_dtype)  # (R, t*L)
 
     optimized = optimized and cfg.partial_rounds >= 2
     if optimized:
@@ -1143,9 +1214,9 @@ def cios_permute_fn(
                     + [fs.int_to_mont_limbs(v) for v in sp.col0]
                 )
             )
-        popt_np = np.stack(rows).astype(np.int32)  # (k-1, (3t-1)*L)
+        popt_np = np.stack(rows).astype(smem_dtype)  # (k-1, (3t-1)*L)
     else:
-        popt_np = np.zeros((1, 1), dtype=np.int32)
+        popt_np = np.zeros((1, 1), dtype=smem_dtype)
 
     if wide_interleave and lane_streams < 2:
         # Only the streams kernel implements the wide emission; silently

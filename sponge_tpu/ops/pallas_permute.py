@@ -62,7 +62,7 @@ def _round_in_kernel(cfg, ark_r, mds, p, nprime, state, full: bool):
         s0 = mont.mont_pow(fs, state[0], cfg.alpha, p, nprime)
         state = jnp.concatenate([s0[None], state[1:]], axis=0)
     prod = mont.mont_mul(fs, mds, state[None], p, nprime)  # (t, t, L, TB)
-    return mont.normalize(jnp.sum(prod, axis=1), passes=2)
+    return mont.normalize(jnp.sum(prod, axis=1), passes=2, lb=fs.limb_bits)
 
 
 def _permute_kernel(ark_ref, mds_ref, state_ref, out_ref, *, cfg):

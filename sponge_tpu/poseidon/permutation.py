@@ -95,7 +95,7 @@ def _round(cfg, ark_r, mds, state, full: bool):
     # limb-wise sum over j (valid pre-normalization: t*2^12 column sums stay far
     # below the int32 bound; two carry passes restore the limb invariant).
     prod = mont.mont_mul(fs, mds, state[None])          # (t, t, L, B)
-    return mont.normalize(jnp.sum(prod, axis=1), passes=2)
+    return mont.normalize(jnp.sum(prod, axis=1), passes=2, lb=fs.limb_bits)
 
 
 def _round_fold(cfg, ark_r, mds, state, full: bool):
@@ -115,7 +115,7 @@ def _round_fold(cfg, ark_r, mds, state, full: bool):
         state = jnp.concatenate([s0[None], state[1:]], axis=0)
     prod = mont.mont_mul_fold(fs, mds, state[None])     # values < R, limbs <= 2^12
     return mont.fold_norm(
-        fs, jnp.sum(prod, axis=1), deferred_limb_bound=cfg.t * mont.LIMB_MASK
+        fs, jnp.sum(prod, axis=1), deferred_limb_bound=cfg.t * fs.limb_mask
     )
 
 

@@ -370,7 +370,7 @@ def encode_mont_plane_native(fs, values_le: bytes, n: int) -> Optional[np.ndarra
     is folded into the encode/decode multipliers in ``_field_ctx``.
     """
     lib = get_lib()
-    if lib is None or fs.nlimbs != 22:
+    if lib is None or fs.nlimbs != 22 or fs.limb_bits != 12:
         return None
     out = np.empty((22, n), dtype=np.int32)
     buf = np.frombuffer(values_le, dtype=np.uint8)
@@ -384,7 +384,7 @@ def encode_mont_plane_native(fs, values_le: bytes, n: int) -> Optional[np.ndarra
 def decode_mont_plane_native(fs, plane: np.ndarray) -> Optional[bytes]:
     """(L, n) int32 *native-R* Montgomery plane -> n canonical 32-byte-LE values."""
     lib = get_lib()
-    if lib is None or fs.nlimbs != 22:
+    if lib is None or fs.nlimbs != 22 or fs.limb_bits != 12:
         return None
     plane = np.ascontiguousarray(plane, dtype=np.int32)
     n = plane.shape[1]

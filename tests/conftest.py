@@ -33,12 +33,38 @@ jax.config.update("jax_platforms", "cpu")
 # (TPU-backend serialization has not crashed; utils/jaxcache.py).
 
 import gc as _gc  # noqa: E402
+import pathlib as _pathlib  # noqa: E402
 
 import numpy as _np  # noqa: E402
 import pytest as _pytest  # noqa: E402
 
 from sponge_tpu.fields import FieldSpec  # noqa: E402
 from sponge_tpu.poseidon.config import PoseidonConfig  # noqa: E402
+
+# ---------------------------------------------------------------------------
+# Fast/slow lanes (VERDICT r4 Weak #1): the `slow` marker is applied at
+# per-test granularity from the FROZEN, measured list tests/slow_tests.txt
+# (node ids >= 20 s in the tools/time_tests.sh campaign; regenerate with
+# tools/slow_tests_from_logs.py --emit).  The default `pytest tests/` lane
+# excludes them via addopts `-m 'not slow'` (pyproject.toml); run everything
+# with `pytest tests/ -m ''`.  Every component keeps fast-lane coverage —
+# the marked ids are the compile-heavy variants (big batches, many schedule
+# points), not whole modules.
+# ---------------------------------------------------------------------------
+
+_SLOW_IDS = frozenset(
+    line.strip()
+    for line in (_pathlib.Path(__file__).parent / "slow_tests.txt")
+    .read_text()
+    .splitlines()
+    if line.strip() and not line.startswith("#")
+)
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if item.nodeid in _SLOW_IDS:
+            item.add_marker(_pytest.mark.slow)
 
 
 @_pytest.fixture(autouse=True, scope="module")
