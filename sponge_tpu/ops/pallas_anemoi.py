@@ -391,6 +391,15 @@ def anemoi_permute_fn(
     Flystel column the ladder carries ONE chain per stream, Griffin's
     regime, and 16:2 measured +7% (380,932 vs 356,358/252,946 perms/s BLS
     t=2, order-controlled; bench/jive_tile_probe.py)."""
+    if cfg.field.limb_bits != 12:
+        # This family's kernel bound analysis (fold counts, row-sum budgets,
+        # quasi ranges) is derived for the 12-bit limb plan; the 13-bit plan
+        # (DESIGN S25) is currently wired through the Poseidon CIOS kernel
+        # only.  Fail loudly rather than mask with a wrong limb width.
+        raise ValueError(
+            f"{cfg.field.name}: limb_bits={cfg.field.limb_bits} is not "
+            "supported by this family kernel (12-bit plan only)"
+        )
     if sublanes is None:
         sublanes = 16 if cfg.l == 1 else 8
     try:

@@ -164,6 +164,15 @@ def gmimc_permute_fn(
     bench/gmimc_kernel_probe.py) — the single front-element norm per round
     is too small a fraction of the pow-chain schedule to pay for the
     relaxed form's extra passes."""
+    if cfg.field.limb_bits != 12:
+        # This family's kernel bound analysis (fold counts, row-sum budgets,
+        # quasi ranges) is derived for the 12-bit limb plan; the 13-bit plan
+        # (DESIGN S25) is currently wired through the Poseidon CIOS kernel
+        # only.  Fail loudly rather than mask with a wrong limb width.
+        raise ValueError(
+            f"{cfg.field.name}: limb_bits={cfg.field.limb_bits} is not "
+            "supported by this family kernel (12-bit plan only)"
+        )
     if not _value_gate(cfg):
         raise ValueError(
             f"GMiMC fused kernel needs (2*rounds+6)*p < R; "

@@ -348,6 +348,15 @@ def griffin_permute_fn(
     unlike Rescue/Anemoi (whose 8:1 tiles won), Griffin's ladder chains
     come ONLY from the stream split, and 8:1 measured a loss (642,545 vs
     652,698/687,201 perms/s BLS rate-2, order-controlled)."""
+    if cfg.field.limb_bits != 12:
+        # This family's kernel bound analysis (fold counts, row-sum budgets,
+        # quasi ranges) is derived for the 12-bit limb plan; the 13-bit plan
+        # (DESIGN S25) is currently wired through the Poseidon CIOS kernel
+        # only.  Fail loudly rather than mask with a wrong limb width.
+        raise ValueError(
+            f"{cfg.field.name}: limb_bits={cfg.field.limb_bits} is not "
+            "supported by this family kernel (12-bit plan only)"
+        )
     try:
         _check_kernel_value_bounds(cfg, False)
         reduce_linear = False

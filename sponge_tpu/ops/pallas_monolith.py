@@ -726,6 +726,15 @@ def monolith_kernel_fn(
     lane_streams: int | None = None,
 ):
     """Jitted Monolith permutation: (t, L, B) -> (t, L, B), B % (sublanes*128) == 0."""
+    if cfg.field.limb_bits != 12:
+        # This family's kernel bound analysis (fold counts, row-sum budgets,
+        # quasi ranges) is derived for the 12-bit limb plan; the 13-bit plan
+        # (DESIGN S25) is currently wired through the Poseidon CIOS kernel
+        # only.  Fail loudly rather than mask with a wrong limb width.
+        raise ValueError(
+            f"{cfg.field.name}: limb_bits={cfg.field.limb_bits} is not "
+            "supported by this family kernel (12-bit plan only)"
+        )
     if lane_streams is None:
         lane_streams = 2 if sublanes % 16 == 0 else 1
     if lane_streams > 1 and sublanes % (8 * lane_streams) != 0:

@@ -322,6 +322,15 @@ def p2_permute_fn(
     Lane-stream interleaving follows the measured-fastest Poseidon shape
     (2 independent (8,128) sub-tiles in lockstep, docs/DESIGN.md §6).
     """
+    if cfg.field.limb_bits != 12:
+        # This family's kernel bound analysis (fold counts, row-sum budgets,
+        # quasi ranges) is derived for the 12-bit limb plan; the 13-bit plan
+        # (DESIGN S25) is currently wired through the Poseidon CIOS kernel
+        # only.  Fail loudly rather than mask with a wrong limb width.
+        raise ValueError(
+            f"{cfg.field.name}: limb_bits={cfg.field.limb_bits} is not "
+            "supported by this family kernel (12-bit plan only)"
+        )
     if lane_streams is None:
         lane_streams = 2 if sublanes % 16 == 0 else 1
     if lane_streams > 1 and sublanes % (8 * lane_streams) != 0:

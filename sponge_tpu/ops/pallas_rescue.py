@@ -458,6 +458,15 @@ def rescue_permute_fn(
     bench/rescue_probe.py tile sweep; the smaller VMEM live set beats the
     extra stream interleave, same direction as DESIGN.md §21's
     register-pressure findings)."""
+    if cfg.field.limb_bits != 12:
+        # This family's kernel bound analysis (fold counts, row-sum budgets,
+        # quasi ranges) is derived for the 12-bit limb plan; the 13-bit plan
+        # (DESIGN S25) is currently wired through the Poseidon CIOS kernel
+        # only.  Fail loudly rather than mask with a wrong limb width.
+        raise ValueError(
+            f"{cfg.field.name}: limb_bits={cfg.field.limb_bits} is not "
+            "supported by this family kernel (12-bit plan only)"
+        )
     _check_kernel_value_bounds(cfg)
     ladder_window = _resolve_ladder_window(cfg, ladder_window)
     lane_streams = _resolve_streams(sublanes, lane_streams)

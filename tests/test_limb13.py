@@ -161,3 +161,14 @@ def test_xla_tier_parity_nonstandard_widths(fs):
         o.permute()
         got = [fs.mont_limbs_to_int(out[i][:, k]) % fs.modulus for i in range(cfg.t)]
         assert got == [v % fs.modulus for v in o.state], (fs.name, k)
+
+
+def test_family_kernels_reject_non_12bit():
+    """The six family kernels' bound analyses are 12-bit-plan-specific; a
+    13-bit field must fail loudly, not compute with a wrong limb mask."""
+    from sponge_tpu import get_default_poseidon2_parameters
+    from sponge_tpu.ops.pallas_p2 import p2_permute_fn
+
+    cfg = get_default_poseidon2_parameters(BLS12_381_FR_L13, 2)
+    with pytest.raises(ValueError, match="12-bit plan only"):
+        p2_permute_fn(cfg)

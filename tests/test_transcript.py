@@ -61,3 +61,41 @@ def test_compiled_transcript_rejects_undersized_plane():
     elems = jnp.asarray(np.zeros((2, FR.nlimbs, 4), dtype=np.int32))
     with pytest.raises(ValueError, match="absorbs 3"):
         fn(elems)
+
+
+def test_compiled_transcript_matches_oracle_tiny_field():
+    """Fast-lane variant of the compiled-transcript parity test: the same
+    schedule machinery (mode flips + multi-chunk squeeze, incl. the quirk
+    path) over the tiny CI field, so the default lane keeps compiled
+    transcript coverage while the L=22 BLS variants live in the slow lane."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from conftest import tiny_poseidon_config
+
+    cfg = tiny_poseidon_config()
+    fs = cfg.field
+    schedule = [Absorb(2), SqueezeNative(1), SqueezeNative(3), Absorb(1), SqueezeNative(2)]
+    total_a, total_q = transcript_shape(schedule)
+    B = 4
+    rng = np.random.default_rng(9)
+    lanes = [
+        [int(v) % fs.modulus for v in rng.integers(0, 1 << 62, size=total_a)]
+        for _ in range(B)
+    ]
+    grid = np.asarray(lanes, dtype=object).T
+    elems = jnp.asarray(np.stack([fs.ints_to_mont_plane(row) for row in grid], axis=0))
+    out = np.asarray(compile_transcript(cfg, schedule)(elems))
+    for b in range(B):
+        o = cfg.oracle_sponge()
+        want = []
+        pos = 0
+        for step in schedule:
+            if isinstance(step, Absorb):
+                o.absorb_field_elements(lanes[b][pos : pos + step.num_elements])
+                pos += step.num_elements
+            else:
+                want.extend(o.squeeze_native_field_elements(step.num_elements))
+        got = [fs.limbs_to_int(out[i, :, b]) for i in range(total_q)]
+        assert got == want, b
