@@ -69,12 +69,22 @@ def bench_kernel_parity():
             "value": "bit-exact", "unit": ""}
 
 
-def bench_batched_permutation(log_batch=20, reps=6):
-    """Config 3: batched permutation throughput, 2^20 states per chip."""
-    from sponge_tpu import BLS12_381_FR, get_default_poseidon_parameters
+def bench_batched_permutation(log_batch=20, reps=6, limb13=False):
+    """Config 3: batched permutation throughput, 2^20 states per chip.
+
+    ``limb13=True`` measures the production 13-bit/L=20 flagship plan
+    (docs/DESIGN.md §25, the plan bench.py ships); the default 12-bit row is
+    kept for the API-default field object.
+    """
+    from sponge_tpu import (
+        BLS12_381_FR,
+        BLS12_381_FR_L13,
+        get_default_poseidon_parameters,
+    )
     from sponge_tpu.poseidon.permutation import batched_permute, zero_state
 
-    cfg = get_default_poseidon_parameters(BLS12_381_FR, 2, False)
+    fs = BLS12_381_FR_L13 if limb13 else BLS12_381_FR
+    cfg = get_default_poseidon_parameters(fs, 2, False)
     B = 1 << log_batch
     state0 = batched_permute(cfg, zero_state(cfg, B))
 
@@ -88,7 +98,8 @@ def bench_batched_permutation(log_batch=20, reps=6):
         return reps * B / (time.time() - t0)
 
     rate = timed_best(_window)
-    return {"name": f"batched permutation (BLS12-381 Fr rate-2, B=2^{log_batch})",
+    plan = "13-bit/L=20 plan" if limb13 else "12-bit/L=22 plan"
+    return {"name": f"batched permutation (BLS12-381 Fr rate-2, B=2^{log_batch}, {plan})",
             "value": round(rate), "unit": "perms/s"}
 
 
@@ -404,6 +415,7 @@ def main():
     rows.append(bench_parity())
     rows.append(bench_kernel_parity())
     rows.append(bench_batched_permutation(14 if args.quick else 20))
+    rows.append(bench_batched_permutation(14 if args.quick else 20, limb13=True))
     rows.append(bench_poseidon2(14 if args.quick else 20))
     rows.append(bench_goldilocks(14 if args.quick else 20))
     rows.append(bench_babybear_p2(14 if args.quick else 20))

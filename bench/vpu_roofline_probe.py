@@ -49,8 +49,12 @@ from jax.experimental import pallas as pl
 from _harness import parity_gate, random_state, time_perms
 
 SUB, LANES, ITERS = 8, 128, 1 << 11
-# (chains, unroll) sweep points; the campaign's convergence plateau.
-SWEEP = ((24, 128), (16, 128), (12, 256))
+# (chains, unroll) sweep points; the campaign's convergence plateau.  The
+# sweep is expressed in OPS per chain per loop iteration and divided by each
+# kind's ops-per-step, so every kind compiles the same-size loop body (the
+# round-4 campaign converged at ~256 ops/chain/iter; a 16x larger prodmix
+# body was measured to push Mosaic compile past the probe timeout).
+SWEEP = ((24, 256), (16, 256), (12, 512))
 
 # Ops per chain per unroll step, per synthetic kind.  "prodmix" mirrors the
 # production census ratio (mul:add:logic ~ 46:47:7, DESIGN §23/§25): seven
@@ -94,7 +98,8 @@ def measure_peak(op: str, reps: int = 100) -> float:
     x = jnp.arange(SUB * LANES, dtype=jnp.int32).reshape(SUB, LANES) | 1
 
     best = 0.0
-    for chains, unroll in SWEEP:
+    for chains, ops_per_iter in SWEEP:
+        unroll = max(1, ops_per_iter // _OPS_PER_STEP[op])
         fn = jax.jit(
             pl.pallas_call(
                 _chain_kernel(op, chains, unroll),

@@ -482,6 +482,110 @@ def _sum_limbs(parts):
     return out
 
 
+# ---------------------------------------------------------------------------
+# Value-overflow protection for the optimized-partial phase (DESIGN §25).
+#
+# The sparse decomposition never Montgomery-reduces elements 1..t-1 during the
+# partial phase: each round ADDS a reduced column product plus a round
+# constant, so those elements' VALUES grow by up to ~2p per partial round.
+# The limb representation holds values < R, and the carry normalizations drop
+# the top carry on the proof that values stay below R — sound at the 12-bit
+# plans (e.g. BLS: ~63p worst-case vs R = 564p; Mersenne31: ~29p vs 32p,
+# deterministically safe), but VIOLATED at the 13-bit plan's reduced headroom
+# (R = 2^260 ~ 35p, ~31 partial rounds): round-5 measured data-dependent
+# parity failures on exactly this path (25/64 random lanes at one seed).
+#
+# The fix is a static worst-case value simulation at kernel-build time
+# (_sparse_value_bound) and, when the bound approaches R, a TOP-LIMB RHO-FOLD
+# after each sparse accumulation (_top_fold): c = top_limb >> lb is exactly
+# the representation's overflow multiple of R (the lower limbs' quasi excess
+# contributes < 2^-11 R), so replacing c*R by c*(R mod p) preserves the value
+# mod p and brings the representation back under R.  Cost: ~2L+2 VPU ops per
+# folded element per round (vs ~9L^2 for the round) — and the 12-bit plans
+# simulate safe, so their traces are byte-identical with folds disabled.
+# ---------------------------------------------------------------------------
+
+
+def _sbox_value_bound(v, alpha, x):
+    """Worst-case value (in units of p) of x^alpha via the kernel's chain;
+    ``x`` = p/R.  Each REDC maps bound b -> b*input*x + 1 (result <= T/R + p)."""
+    bits = bin(alpha)[2:]
+    s = v
+    for bit in bits[1:]:
+        s = s * s * x + 1.0
+        if bit == "1":
+            s = s * v * x + 1.0
+    return s
+
+
+def _sparse_value_bound(cfg, n_groups):
+    """Worst-case element value (units of p) reached during the optimized
+    partial phase, by static simulation of the kernel's own schedule.
+
+    Full-round phase: every element is REDC'd each round (self-reducing
+    fixpoint ~1.5-3p).  Partial phase: elem0 is REDC'd per round via the
+    row0 dot; elements 1..t-1 accumulate (col0-product REDC output + round
+    constant) per round with NO reduction — the growing term this bound
+    tracks.  Group sums add +1p per extra group (each group REDC result
+    <= partialT/R + p)."""
+    fs = cfg.field
+    x = fs.modulus / fs.r
+    G = n_groups
+    v = 1.0  # canonical input
+    for _ in range(cfg.full_rounds // 2):
+        s = _sbox_value_bound(v + 1.0, cfg.alpha, x)
+        v = cfg.t * s * x + G  # MDS row: T <= t*s*p, + p per group REDC
+    # First partial round: ark + sbox0 only (no sparse apply yet).
+    s0 = _sbox_value_bound(v + 1.0, cfg.alpha, x)
+    v_rest = v
+    vmax = v_rest
+    for _ in range(cfg.partial_rounds - 1):
+        x0 = s0 + 1.0  # post-ark elem0
+        rest_in = v_rest + 1.0  # post-ark rest
+        out0 = (x0 + (cfg.t - 1) * rest_in) * x + G
+        v_rest = rest_in + (x0 * x + 1.0)  # += col0-product REDC output
+        vmax = max(vmax, v_rest, out0)
+        s0 = _sbox_value_bound(out0, cfg.alpha, x)
+    return vmax
+
+
+def _sparse_needs_fold(cfg, n_groups) -> bool:
+    """True when the sparse-phase worst-case value can reach 98% of R."""
+    fs = cfg.field
+    return _sparse_value_bound(cfg, n_groups) >= 0.98 * fs.r / fs.modulus
+
+
+def _top_fold_multi(limbs_list, rho_half_ints, lb):
+    """Half-range top-limb rho-fold of several limb lists (block comment above).
+
+    The fold must keep the top limb strictly below 2^lb at EVERY subsequent
+    normalization site — the relaxed 1-pass norms truncate the top limb's
+    high bits unconditionally — so it folds at bit (lb-1): c = top >> (lb-1),
+    top &= 2^(lb-1)-1, then += c * rho_half with rho_half = (R/2) mod p
+    (bit lb-1 of the top limb has weight R/2; substituting preserves the
+    value mod p exactly).  Nonnegative limbs pin every representation's top
+    limb to ~value / 2^(lb*(L-1)), so post-fold the value is <= ~0.62 R and
+    the per-round growth (<= ~3p, i.e. <= 3*2^lb/(R/p) on the top limb, with
+    R >= 16p guaranteed by FieldSpec) can never push the top limb back to
+    2^lb before the next round's fold — no normalization site ever sees a
+    non-empty top-limb high part, restoring the carry-drop soundness proof.
+    c <= 4 here (inputs are sums of two quasi-canonical lists)."""
+    half_mask = (1 << (lb - 1)) - 1
+    outs = []
+    for limbs in limbs_list:
+        c = limbs[-1] >> (lb - 1)
+        out = [
+            limbs[k] + c * rho_half_ints[k] if rho_half_ints[k] else limbs[k]
+            for k in range(len(limbs) - 1)
+        ]
+        top = limbs[-1] & half_mask
+        if rho_half_ints[-1]:
+            top = top + c * rho_half_ints[-1]
+        out.append(top)
+        outs.append(out)
+    return outs
+
+
 def _mds_apply(
     L, t, elems, mds_ints, p_limbs, n0inv, groups=None, final_norm=None,
     sum_norm=None, lb=LIMB_BITS,
@@ -673,6 +777,11 @@ def _permute_kernel_streams(
     )
     groups = _mds_groups(L, t, mds_group, quasi=relaxed, lb=lb, unsigned=unsigned)
     G = len(groups)
+    # Sparse-phase value-overflow protection (block comment at _top_fold_multi).
+    needs_fold = optimized and _sparse_needs_fold(cfg, G)
+    rho_half_ints = tuple(
+        int(v) for v in fs.int_to_limbs((fs.r >> 1) % fs.modulus)
+    )
     if relaxed:
         tail_norm_multi = functools.partial(_relaxed_norm_multi, passes=2, lb=lb)
         small_norm_multi = functools.partial(_relaxed_norm_multi, passes=1, lb=lb)
@@ -915,7 +1024,15 @@ def _permute_kernel_streams(
                 for i in range(1, t):
                     sts[s][i] = [
                         a + b for a, b in zip(reduced[s][G + i - 1], sts[s][i])
-                    ]  # limbs <= 2^13
+                    ]  # limbs <= 2^(lb+1)
+            if needs_fold:
+                folded = _top_fold_multi(
+                    [sts[s][i] for s in range(ns) for i in range(1, t)],
+                    rho_half_ints, lb,
+                )
+                for s in range(ns):
+                    for i in range(1, t):
+                        sts[s][i] = folded[s * (t - 1) + i - 1]
             sbox_streams(sts, 0)
             return pack_streams(sts)
 
@@ -972,6 +1089,11 @@ def _permute_kernel(
         for row in cfg.mds
     )
     groups = _mds_groups(L, t, mds_group, quasi=relaxed, lb=lb, unsigned=unsigned)
+    # Sparse-phase value-overflow protection (block comment at _top_fold_multi).
+    needs_fold = optimized and _sparse_needs_fold(cfg, len(groups))
+    rho_half_ints = tuple(
+        int(v) for v in fs.int_to_limbs((fs.r >> 1) % fs.modulus)
+    )
     if relaxed:
         tail_norm = functools.partial(_relaxed_norm, passes=2, lb=lb)
         tail_norm_multi = functools.partial(_relaxed_norm_multi, passes=2, lb=lb)
@@ -1081,6 +1203,8 @@ def _permute_kernel(
                 sum_norm=small_norm_multi if pipelined else small_norm,
                 lb=lb,
             )
+            if needs_fold:
+                els[1:] = _top_fold_multi(els[1:], rho_half_ints, lb)
             els[0] = _pow_alpha(L, els[0], cfg.alpha, p_limbs, n0inv, tail_norm, lb)
             return pack(els)
 

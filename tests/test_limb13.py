@@ -172,3 +172,99 @@ def test_family_kernels_reject_non_12bit():
     cfg = get_default_poseidon2_parameters(BLS12_381_FR_L13, 2)
     with pytest.raises(ValueError, match="12-bit plan only"):
         p2_permute_fn(cfg)
+
+
+# ---------------------------------------------------------------------------
+# Sparse-phase value-overflow protection (the round-5 fold fix).
+#
+# The optimized partial rounds never reduce elements 1..t-1 — their values
+# grow ~2p per round.  At the 12-bit plans the worst case stays below R
+# (564p headroom for BLS); at the 13-bit plan (R ~ 35p) it overflows, and
+# the relaxed norms silently drop the top carry: measured 25/64 random lanes
+# wrong on hardware at one seed before the fix.  _sparse_needs_fold gates a
+# half-range top-limb rho-fold that caps values at ~0.62 R.
+# ---------------------------------------------------------------------------
+
+DEEP13 = None  # built lazily: tiny13 with a deep partial phase
+
+
+def _deep13(partial_rounds=20):
+    return tiny_poseidon_config(field=TINY13, partial_rounds=partial_rounds)
+
+
+def test_sparse_fold_gating():
+    from sponge_tpu import (
+        BABYBEAR_FR,
+        GOLDILOCKS_FR,
+        KOALABEAR_FR,
+        MERSENNE31_FR,
+        get_default_poseidon_parameters,
+    )
+    from sponge_tpu.ops.pallas_cios import _sparse_needs_fold, _sparse_value_bound
+
+    def gate(fs, rate):
+        cfg = get_default_poseidon_parameters(fs, rate, False)
+        G = len(
+            _mds_groups(
+                fs.nlimbs, cfg.t, quasi=True, lb=fs.limb_bits,
+                unsigned=fs.unsigned_accum,
+            )
+        )
+        return _sparse_needs_fold(cfg, G), _sparse_value_bound(cfg, G), fs.r / fs.modulus
+
+    # 12-bit plans: deterministically below R -> no fold, traces unchanged.
+    for fs, rate in [
+        (BLS12_381_FR, 2), (BLS12_381_FR, 8), (GOLDILOCKS_FR, 8),
+        (BABYBEAR_FR, 8), (MERSENNE31_FR, 8),
+    ]:
+        fold, bound, ratio = gate(fs, rate)
+        assert not fold and bound < 0.98 * ratio, (fs.name, bound, ratio)
+    # The 13-bit plan and KoalaBear (alpha=3, 20 partial rounds at 32p
+    # headroom — a LATENT pre-existing hole the round-5 simulation surfaced)
+    # exceed their headroom: folds required.
+    for fs, rate in [(BLS12_381_FR_L13, 2), (BLS12_381_FR_L13, 8), (KOALABEAR_FR, 8)]:
+        fold, bound, ratio = gate(fs, rate)
+        assert fold and bound >= 0.98 * ratio, (fs.name, bound, ratio)
+
+
+def test_sparse_fold_is_load_bearing():
+    """Folds OFF must corrupt a deep-partial tiny13 run; folds ON must be
+    bit-exact — the discriminating pair that pins the round-5 hardware
+    failure class (top-carry drop past R) forever."""
+    import sponge_tpu.ops.pallas_cios as pc
+
+    cfg = _deep13()
+    fs = cfg.field
+    rng = np.random.default_rng(77)
+    B, lanes = 2048, 16
+    vals = [
+        [int(v) % fs.modulus for v in rng.integers(0, 1 << 62, size=lanes)]
+        + [0] * (B - lanes)
+        for _ in range(cfg.t)
+    ]
+    state = np.stack([fs.ints_to_mont_plane(row) for row in vals], axis=0)
+
+    def run_and_count(**kw):
+        out = np.asarray(pc.cios_permute_fn(cfg, interpret=True, **kw)(state))
+        bad = 0
+        for k in range(lanes):
+            o = cfg.oracle_sponge()
+            o.state = [vals[i][k] for i in range(cfg.t)]
+            o.permute()
+            got = [
+                fs.mont_limbs_to_int(out[i][:, k]) % fs.modulus
+                for i in range(cfg.t)
+            ]
+            bad += got != [v % fs.modulus for v in o.state]
+        return bad
+
+    orig = pc._sparse_needs_fold
+    try:
+        pc._sparse_needs_fold = lambda cfg, G: False
+        pc.cios_permute_fn.cache_clear()
+        assert run_and_count() > 0, "deep-partial draws no longer overflow; deepen rp"
+    finally:
+        pc._sparse_needs_fold = orig
+        pc.cios_permute_fn.cache_clear()
+    assert run_and_count() == 0
+    assert run_and_count(relaxed=False) == 0
